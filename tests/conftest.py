@@ -1,0 +1,22 @@
+"""Test config: run everything on the CPU backend with 8 virtual devices.
+
+Mirrors the reference's csim-vs-golden strategy (SURVEY.md §4): every kernel is
+checked bit-exactly against a scalar NumPy golden model, and multi-chip
+sharding is validated on a virtual 8-device CPU mesh without real hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
