@@ -15,6 +15,12 @@ if "host_platform_device_count" not in flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# XLA CPU compiles of int8 convs dominate test wall-clock; cache them.
+_CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture
