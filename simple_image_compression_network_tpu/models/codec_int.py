@@ -18,48 +18,79 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, REFERENCE_NET
-from ..ops import conv_int
+from ..ops import conv_int, conv_fast
+
+# Per-layer kernel implementations (the reference's resource-tag analog,
+# utils.hpp:71-77 — here selecting XLA/Pallas lowering strategy, all
+# bit-identical; see ops/conv_fast.py):
+#   conv:   "lax"    direct 5x5/s2 lax.conv
+#           "s2d"    space-to-depth + 3x3/s1 conv
+#           "gemm"   space-to-depth + explicit im2col matmul
+#   deconv: "dilated" lhs-dilated lax.conv (4x wasted FLOPs)
+#           "phased"  4 per-phase convs + interleave
+#           "d2s"     one 3x3/s1 conv with 4*Cout outputs + depth-to-space
+_CONV_IMPL = {
+    "lax": conv_int.conv2d_int8,
+    "s2d": conv_fast.conv2d_int8_s2d,
+    "gemm": conv_fast.conv2d_int8_gemm,
+}
+_DECONV_IMPL = {
+    "dilated": conv_int.deconv2d_int8,
+    "phased": conv_int.deconv2d_int8_phased,
+    "d2s": conv_fast.deconv2d_int8_d2s,
+}
+
+# Default schedule: fastest measured configuration on TPU v5e (bench.py).
+DEFAULT_PLAN = ("gemm", "lax", "lax", "lax", "phased", "phased", "phased",
+                "phased")
+
+
+def _plan(impl, cfg: ModelConfig):
+    plan = DEFAULT_PLAN if impl is None else tuple(impl)
+    assert len(plan) == len(cfg.layers)
+    return plan
 
 
 def analysis_int8(params: Dict[str, jax.Array], x: jax.Array,
-                  cfg: ModelConfig = REFERENCE_NET,
-                  ) -> jax.Array:
+                  cfg: ModelConfig = REFERENCE_NET, *,
+                  impl=None) -> jax.Array:
     """Analysis transform: conv2d layers 0..3.  x: int8/uint8 (N, X, Y, 3).
 
     Returns the int8 latent (N, X/16, Y/16, 192), values 0..127.
     """
+    plan = _plan(impl, cfg)
     h = conv_int.to_wire_int8(x)
-    for i, layer in enumerate(cfg.analysis):
-        h = conv_int.conv2d_int8(h, params[f"w{i}"], params[f"b{i}"],
-                                 stride=layer.stride, padding=layer.padding)
+    for i, _ in enumerate(cfg.analysis):
+        h = _CONV_IMPL[plan[i]](h, params[f"w{i}"], params[f"b{i}"])
     return h
 
 
 def synthesis_int8(params: Dict[str, jax.Array], z: jax.Array,
                    cfg: ModelConfig = REFERENCE_NET, *,
-                   phased: bool = True) -> jax.Array:
-    """Synthesis transform: deconv522 layers 4..7.  z: int8 latent.
-
-    `phased=True` uses the sub-pixel-decomposed transposed conv (4x fewer
-    MXU FLOPs than lhs-dilation; bit-identical — tested).
-    """
-    deconv = (conv_int.deconv2d_int8_phased if phased
-              else conv_int.deconv2d_int8)
+                   impl=None) -> jax.Array:
+    """Synthesis transform: deconv522 layers 4..7.  z: int8 latent."""
+    plan = _plan(impl, cfg)
     h = z.astype(jnp.int8)
     n_analysis = len(cfg.analysis)
-    for j, layer in enumerate(cfg.synthesis):
+    for j, _ in enumerate(cfg.synthesis):
         i = n_analysis + j
-        h = deconv(h, params[f"w{i}"], params[f"b{i}"],
-                   stride=layer.stride, padding=layer.padding)
+        h = _DECONV_IMPL[plan[i]](h, params[f"w{i}"], params[f"b{i}"])
     return h
 
 
 def eight_layers_net(params: Dict[str, jax.Array], x: jax.Array,
                      cfg: ModelConfig = REFERENCE_NET, *,
-                     phased: bool = True) -> jax.Array:
-    """Full codec forward: analysis then synthesis (eight_layers_net)."""
-    return synthesis_int8(params, analysis_int8(params, x, cfg), cfg,
-                          phased=phased)
+                     phased: bool = True, impl=None) -> jax.Array:
+    """Full codec forward: analysis then synthesis (eight_layers_net).
+
+    `impl`: None (tuned default), or an 8-tuple of per-layer implementation
+    names, see _CONV_IMPL/_DECONV_IMPL.  `phased` kept for back-compat:
+    phased=False forces the lhs-dilated deconv path.
+    """
+    if impl is None and not phased:
+        impl = ("lax",) * 4 + ("dilated",) * 4
+    z = analysis_int8(params, x, cfg, impl=impl)
+    return synthesis_int8(params, z, cfg, impl=impl)
 
 
 def random_params(cfg: ModelConfig = REFERENCE_NET, seed: int = 0

@@ -1,0 +1,161 @@
+"""MXU-shaped rewrites of the k5/s2/p2 conv and transposed conv.
+
+Same integers, better hardware mapping.  XLA's TPU int8 convolutions handle
+3x3 stride-1 shapes far better than 5x5 stride-2 (and collapse entirely for
+3-channel tensors), so both layer types are rewritten around stride-1 3x3
+convs with channel dims that are multiples of the input channel count x4:
+
+* Strided conv (``conv2d_int8_s2d``): a 5x5/s2/p2 conv equals a 3x3/s1/p1
+  conv over the space-to-depth input.  With ``u = 2i + kx - 2`` and phase
+  ``a = kx mod 2``, ``kx = 2*mx + a`` gives
+  ``out[i,j,o] = sum w[o,2mx+a,2my+b,c] * phase_ab[i+mx-1, j+my-1, c]``
+  where ``phase_ab[v,w,c] = x[2v+a, 2w+b, c]``.  The (mx=2, a=1) taps don't
+  exist in a 5-tap kernel and are zero-filled.
+
+* Transposed conv (``deconv2d_int8_d2s``): the 4 output phases of deconv522
+  (zero-insertion algebra of ``conv_nonsquare_top.cpp:94-156``) are each a
+  stride-1 conv of the *un*-dilated input with tap offsets in {-1,0,1}; one
+  3x3/s1/p1 conv with 4*Cout output channels computes all phases, and a
+  depth-to-space reshuffle interleaves them.  Output phase (px,py) at
+  (2i+px, 2j+py) reads input (i + (px+kx-2)/2) for kx = 2 - px mod 2 ...
+  concretely: tap offset d = (px + kx - 2)/2 for the kx with matching parity.
+
+Both are bit-exact to ``ops.conv_int`` / the NumPy goldens (tested), since
+they compute the identical sum of products before the identical epilogue.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .conv_int import DIMNUMS, bias_relu_epilogue
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, 2V, 2W, C) -> (B, V, W, 4C) with xs[v,w,(a,b,c)] = x[2v+a, 2w+b, c]."""
+    b, x2, y2, c = x.shape
+    v, w = x2 // 2, y2 // 2
+    return (x.reshape(b, v, 2, w, 2, c)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(b, v, w, 4 * c))
+
+
+def depth_to_space(y: jax.Array) -> jax.Array:
+    """(B, V, W, 4C) -> (B, 2V, 2W, C): inverse of space_to_depth."""
+    b, v, w, c4 = y.shape
+    c = c4 // 4
+    return (y.reshape(b, v, w, 2, 2, c)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(b, 2 * v, 2 * w, c))
+
+
+def conv_weights_s2d(w: np.ndarray | jax.Array) -> jax.Array:
+    """[O, kx, ky, I] 5x5 kernel -> 3x3 HWIO kernel over s2d channels.
+
+    W3[mx, my, (a,b,c), o] = w[o, 2mx+a, 2my+b, c]; taps with 2m+phase > 4
+    are zero.
+    """
+    w = jnp.asarray(w, jnp.int8)
+    o, k, _, ci = w.shape
+    assert k == 5
+    w3 = jnp.zeros((3, 3, 4 * ci, o), jnp.int8)
+    for mx in range(3):
+        for a in range(2):
+            kx = 2 * mx + a
+            if kx >= k:
+                continue
+            for my in range(3):
+                for b in range(2):
+                    ky = 2 * my + b
+                    if ky >= k:
+                        continue
+                    g = (a * 2 + b) * ci
+                    w3 = w3.at[mx, my, g:g + ci, :].set(
+                        jnp.transpose(w[:, kx, ky, :], (1, 0)))
+    return w3
+
+
+def conv2d_int8_s2d_acc(x: jax.Array, w3: jax.Array) -> jax.Array:
+    """5x5/s2/p2 conv accumulator via one 3x3/s1/p1 conv over s2d(x).
+
+    w3 must come from ``conv_weights_s2d``.
+    """
+    xs = space_to_depth(x.astype(jnp.int8))
+    return lax.conv_general_dilated(
+        xs, w3, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=DIMNUMS, preferred_element_type=jnp.int32)
+
+
+def conv2d_int8_s2d(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
+    return bias_relu_epilogue(conv2d_int8_s2d_acc(x, conv_weights_s2d(w)), bias)
+
+
+def deconv_weights_d2s(w: np.ndarray | jax.Array) -> jax.Array:
+    """[O, kx, ky, I] 5x5 deconv kernel -> 3x3 HWIO kernel with 4O outputs.
+
+    Output phase (px,py) at global (2i+px): contributing kernel taps kx
+    satisfy kx ≡ (2 - px) mod 2 with input offset d = (px + kx - 2)/2
+    (see conv_int.deconv2d_int8_acc_phased).  K3[d+1, e+1, c, (px,py,o)]
+    = w[o, kx, ky, c]; phases with only 2 valid offsets get a zero tap.
+    """
+    w = jnp.asarray(w, jnp.int8)
+    o, k, _, ci = w.shape
+    assert k == 5
+    lo = 2  # k - padding - 1
+    w3 = jnp.zeros((3, 3, ci, 4 * o), jnp.int8)
+    for px in range(2):
+        for py in range(2):
+            for kx in range(k):
+                if (kx - (lo - px)) % 2:
+                    continue
+                d = (px + kx - lo) // 2
+                for ky in range(k):
+                    if (ky - (lo - py)) % 2:
+                        continue
+                    e = (py + ky - lo) // 2
+                    g = (px * 2 + py) * o
+                    w3 = w3.at[d + 1, e + 1, :, g:g + o].set(
+                        jnp.transpose(w[:, kx, ky, :], (1, 0)))
+    return w3
+
+
+def deconv2d_int8_d2s_acc(x: jax.Array, w3: jax.Array) -> jax.Array:
+    """deconv522 accumulator via one 3x3/s1/p1 conv producing all 4 phases."""
+    y = lax.conv_general_dilated(
+        x.astype(jnp.int8), w3, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=DIMNUMS, preferred_element_type=jnp.int32)
+    return depth_to_space(y)
+
+
+def deconv2d_int8_d2s(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
+    return bias_relu_epilogue(deconv2d_int8_d2s_acc(x, deconv_weights_d2s(w)),
+                              bias)
+
+
+def conv2d_int8_gemm_acc(x: jax.Array, w: jax.Array) -> jax.Array:
+    """5x5/s2/p2 conv accumulator as an explicit im2col GEMM over s2d patches.
+
+    For small channel counts (layer 0: Cin=3) XLA's conv path collapses; an
+    explicit patches @ weights matmul with K = 9*4*Cin keeps the MXU fed.
+    """
+    o, k, _, ci = w.shape
+    xs = space_to_depth(x.astype(jnp.int8))          # (B, V, W, 4C)
+    b, v, ww, c4 = xs.shape
+    xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = [xp[:, mx:mx + v, my:my + ww, :] for mx in range(3)
+            for my in range(3)]
+    patches = jnp.concatenate(cols, axis=-1)         # (B, V, W, 9*4C)
+    w3 = conv_weights_s2d(w)                          # (3, 3, 4C, O)
+    wmat = w3.reshape(9 * c4, o)
+    acc = jax.lax.dot_general(
+        patches.reshape(b * v * ww, 9 * c4), wmat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.reshape(b, v, ww, o)
+
+
+def conv2d_int8_gemm(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
+    return bias_relu_epilogue(conv2d_int8_gemm_acc(x, w), bias)
