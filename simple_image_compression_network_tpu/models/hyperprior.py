@@ -1,0 +1,160 @@
+"""Float codec models: factorized-prior and scale-hyperprior autoencoders.
+
+The trainable counterpart of the reference's integer transforms
+(BASELINE.json configs 2-4): analysis/synthesis stacks with the reference's
+exact geometry (4x 5x5/s2 conv, N=128 internal, M=192 latent channels —
+``config_nonsquare.h``) but float weights and GDN activations, plus the
+hyperprior entropy stage (hyper-encoder/decoder producing per-latent Gaussian
+scales) the reference lacks.
+
+Input images are expected in [0, 1] float, NHWC (N, X, Y, 3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..codec import entropy
+from ..ops.gdn import GDN
+
+
+def _conv(ch: int, k: int = 5, s: int = 2) -> nn.Conv:
+    return nn.Conv(ch, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2)
+
+
+def _deconv(ch: int, k: int = 5, s: int = 2) -> nn.ConvTranspose:
+    # 'SAME' padding on a stride-2 transpose conv gives exact 2x upsample,
+    # matching the reference's deconv522 output algebra (out = 2*in).
+    return nn.ConvTranspose(ch, (k, k), strides=(s, s), padding="SAME")
+
+
+class AnalysisTransform(nn.Module):
+    """g_a: image -> latent y.  Geometry of eight_layers_net layers 0-3."""
+
+    n: int = 128
+    m: int = 192
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for ch in (self.n, self.n, self.n):
+            x = GDN()(_conv(ch)(x))
+        return _conv(self.m)(x)
+
+
+class SynthesisTransform(nn.Module):
+    """g_s: latent y -> image.  Geometry of eight_layers_net layers 4-7."""
+
+    n: int = 128
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        for ch in (self.n, self.n, self.n):
+            y = GDN(inverse=True)(_deconv(ch)(y))
+        return _deconv(3)(y)
+
+
+class HyperAnalysis(nn.Module):
+    """h_a: |y| -> hyper-latent z (2x 5x5/s2 after a 3x3/s1)."""
+
+    n: int = 128
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        h = nn.relu(nn.Conv(self.n, (3, 3), padding="SAME")(jnp.abs(y)))
+        h = nn.relu(_conv(self.n)(h))
+        return _conv(self.n)(h)
+
+
+class HyperSynthesis(nn.Module):
+    """h_s: z_hat -> per-latent Gaussian scales sigma (positive)."""
+
+    n: int = 128
+    m: int = 192
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        h = nn.relu(_deconv(self.n)(z))
+        h = nn.relu(_deconv(self.n)(h))
+        h = nn.Conv(self.m, (3, 3), padding="SAME")(h)
+        return jnp.exp(jnp.clip(h, -10.0, 10.0))
+
+
+class FactorizedPrior(nn.Module):
+    """g_a/g_s + factorized entropy bottleneck on y (Balle 2017 style)."""
+
+    n: int = 128
+    m: int = 192
+
+    def setup(self):
+        self.g_a = AnalysisTransform(self.n, self.m)
+        self.g_s = SynthesisTransform(self.n)
+        self.bottleneck = entropy.FactorizedEntropy(self.m)
+
+    def __call__(self, x: jax.Array, *, key: jax.Array | None = None
+                 ) -> Dict[str, jax.Array]:
+        y = self.g_a(x)
+        y_hat = (entropy.quantize_noise(y, key) if key is not None
+                 else entropy.quantize_ste(y))
+        bits_y = self.bottleneck(y_hat)
+        x_hat = self.g_s(y_hat)
+        num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+        return {"x_hat": x_hat, "y_hat": y_hat,
+                "bits": bits_y, "bpp": bits_y / num_pixels}
+
+
+class ScaleHyperprior(nn.Module):
+    """g_a/g_s + hyperprior entropy stage (Balle 2018 style).
+
+    __call__ returns the training quantities; encode/decode-side helpers
+    (deterministic latents + scales) live in codec/codec.py.
+    """
+
+    n: int = 128
+    m: int = 192
+
+    def setup(self):
+        self.g_a = AnalysisTransform(self.n, self.m)
+        self.g_s = SynthesisTransform(self.n)
+        self.h_a = HyperAnalysis(self.n)
+        self.h_s = HyperSynthesis(self.n, self.m)
+        self.bottleneck = entropy.FactorizedEntropy(self.n)
+
+    def __call__(self, x: jax.Array, *, key: jax.Array | None = None
+                 ) -> Dict[str, jax.Array]:
+        y = self.g_a(x)
+        z = self.h_a(y)
+        if key is not None:
+            ky, kz = jax.random.split(key)
+            y_hat = entropy.quantize_noise(y, ky)
+            z_hat = entropy.quantize_noise(z, kz)
+        else:
+            y_hat = entropy.quantize_ste(y)
+            z_hat = entropy.quantize_ste(z)
+        sigma = self.h_s(z_hat)
+        bits_y = entropy.GaussianConditional.bits(y_hat, sigma)
+        bits_z = self.bottleneck(z_hat)
+        x_hat = self.g_s(y_hat)
+        num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+        bits = bits_y + bits_z
+        return {"x_hat": x_hat, "y_hat": y_hat, "z_hat": z_hat,
+                "sigma": sigma, "bits_y": bits_y, "bits_z": bits_z,
+                "bits": bits, "bpp": bits / num_pixels}
+
+    def encode_arrays(self, x: jax.Array
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Deterministic encode: (y_rounded, z_rounded, sigma)."""
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat = jnp.round(z)
+        sigma = self.h_s(z_hat)
+        return jnp.round(y), z_hat, sigma
+
+    def decode_arrays(self, y_hat: jax.Array) -> jax.Array:
+        return self.g_s(y_hat)
+
+    def scales_from_z(self, z_hat: jax.Array) -> jax.Array:
+        return self.h_s(z_hat)
