@@ -7,7 +7,7 @@ sharding is validated on a virtual 8-device CPU mesh without real hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,10 @@ if "host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+# The axon TPU plugin (when present) registers itself at interpreter start
+# and overrides the env var; force the CPU backend through the config API.
+jax.config.update("jax_platforms", "cpu")
 
 # XLA CPU compiles of int8 convs dominate test wall-clock; cache them.
 _CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
