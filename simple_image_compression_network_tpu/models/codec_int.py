@@ -29,15 +29,27 @@ from ..ops import conv_int, conv_fast
 #   deconv: "dilated" lhs-dilated lax.conv (4x wasted FLOPs)
 #           "phased"  4 per-phase convs + interleave
 #           "d2s"     one 3x3/s1 conv with 4*Cout outputs + depth-to-space
+def _pallas_conv(x, w, b):
+    from ..ops import pallas_conv
+    return pallas_conv.conv2d_int8_pallas(x, w, b)
+
+
+def _pallas_deconv(x, w, b):
+    from ..ops import pallas_conv
+    return pallas_conv.deconv2d_int8_pallas(x, w, b)
+
+
 _CONV_IMPL = {
     "lax": conv_int.conv2d_int8,
     "s2d": conv_fast.conv2d_int8_s2d,
     "gemm": conv_fast.conv2d_int8_gemm,
+    "pallas": _pallas_conv,
 }
 _DECONV_IMPL = {
     "dilated": conv_int.deconv2d_int8,
     "phased": conv_int.deconv2d_int8_phased,
     "d2s": conv_fast.deconv2d_int8_d2s,
+    "pd2s": _pallas_deconv,
 }
 
 # Default schedule: fastest measured configuration on TPU v5e (bench.py):

@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: fused 3x3/stride-1 int8 conv — the MVAU of this build.
+
+One kernel covers every layer of the reference net via the rewrites in
+``ops/conv_fast.py``:
+  * strided 5x5/s2 conv  == this kernel on the space-to-depth input
+    (4*Cin channels), replacing the reference's SWG + MVAU pipeline
+    (``slidingwindow.h:1254``, ``mvau.hpp:92``);
+  * transposed 5x5/s2 conv == this kernel emitting 4*Cout phase channels,
+    followed by a depth-to-space interleave.
+
+Mapping of the reference's folding vocabulary (SURVEY.md §2.5): SIMD -> the
+GEMM K dim (tap x channel contraction on the MXU), PE -> the N dim (output
+channels), MMV -> the M dim (pixels per tile).  The wrap-mod-256 + bias +
+MSB-ReLU epilogue (``conv_nonsquare_top.cpp:267-278``) runs in-register on
+the VPU before the int8 store.
+
+Memory layout (Mosaic alignment): channels are padded to a multiple of 128
+(lanes) and the (Y, C) dims are flattened so that a kernel-tap shift of one
+pixel in Y becomes a 128-aligned *lane* slice; the X halo lives on an untiled
+leading dim, so the HBM->VMEM DMA of each (TX+2, Y*Cp) slab (the line-buffer
+analog of ``slidingwindow.h``) is alignment-free.  Grid is (batch, X tiles);
+each step runs 9 tap-GEMMs on the MXU accumulating int32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import conv_fast
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _conv3x3_kernel(x_hbm, w_ref, b_ref, out_ref, xtile, sems, *, tx, yd, cp,
+                    cout, relu, n_x):
+    t = pl.program_id(0)
+    b, i = t // n_x, t % n_x
+
+    # Double-buffered input slabs: wait for this tile's DMA (started by the
+    # previous grid step), immediately start the next tile's.  Aligned DMA:
+    # offset i*tx and extent tx+8 are sublane-aligned (tx % 8 == 0); the
+    # 1-pixel X halo sits inside the 8-row over-read.
+    def start(tt, slot):
+        bb, ii = tt // n_x, tt % n_x
+        pltpu.make_async_copy(
+            x_hbm.at[bb].at[pl.ds(ii * tx, tx + 8)],
+            xtile.at[slot], sems.at[slot]).start()
+
+    @pl.when(t == 0)
+    def _():
+        start(0, 0)
+
+    slot = t % 2
+    pltpu.make_async_copy(
+        x_hbm.at[b].at[pl.ds(i * tx, tx + 8)],
+        xtile.at[slot], sems.at[slot]).wait()
+
+    @pl.when(t + 1 < pl.num_programs(0))
+    def _():
+        start(t + 1, (t + 1) % 2)
+
+    acc = jnp.zeros((tx * yd, cout), jnp.int32)
+    for mx in range(3):
+        for my in range(3):
+            a = (xtile[slot, mx:mx + tx, my * cp:(my + yd) * cp]
+                 .reshape(tx * yd, cp))
+            acc = acc + jnp.dot(a, w_ref[3 * mx + my],
+                                preferred_element_type=jnp.int32)
+    # epilogue: wrap mod 256 after bias add, then MSB-ReLU
+    v = ((acc + b_ref[:] + 128) & 0xFF) - 128
+    if relu:
+        v = jnp.maximum(v, 0)
+    out_ref[0] = v.reshape(tx, yd, cout).astype(jnp.int8)
+
+
+def conv3x3_s1_int8(x: jax.Array, w3: jax.Array, bias: jax.Array, *,
+                    tx: int = 8, relu: bool = True,
+                    interpret: bool = False) -> jax.Array:
+    """Fused 3x3/s1/p1 conv + wrap/bias/ReLU epilogue.
+
+    x: (B, X, Y, C) int8; w3: (3, 3, C, N) int8 (HWIO); bias: (N,) int8.
+    Returns (B, X, Y, N) int8.
+    """
+    b, xd, yd, cin = x.shape
+    cout = w3.shape[-1]
+    assert w3.shape == (3, 3, cin, cout)
+    if xd % 8 == 0:
+        tx = max(8, tx)
+        while xd % tx:
+            tx -= 8
+    if xd % 8 or tx % 8 or xd % tx:
+        # small/odd X: fall back to the XLA path (kernel wants 8-row tiles)
+        from .conv_int import bias_relu_epilogue, DIMNUMS
+        from jax import lax
+        acc = lax.conv_general_dilated(
+            x, w3, (1, 1), [(1, 1), (1, 1)], dimension_numbers=DIMNUMS,
+            preferred_element_type=jnp.int32)
+        out = ((acc + bias.astype(jnp.int32) + 128) & 0xFF) - 128
+        if relu:
+            out = jnp.maximum(out, 0)
+        return out.astype(jnp.int8)
+    cp = _round_up(cin, 128)
+    # pad: X 1 left + 7 right (halo + DMA alignment), Y halo 1 each side
+    # (lane-flattened), C->cp
+    xp = jnp.pad(x, ((0, 0), (1, 7), (1, 1), (0, cp - cin)))
+    xp = xp.reshape(b, xd + 8, (yd + 2) * cp)
+    w9 = jnp.pad(w3.astype(jnp.int8),
+                 ((0, 0), (0, 0), (0, cp - cin), (0, 0))).reshape(9, cp, cout)
+    bias_i32 = bias.astype(jnp.int32).reshape(1, cout)
+    n_x = xd // tx
+    kernel = functools.partial(_conv3x3_kernel, tx=tx, yd=yd, cp=cp,
+                               cout=cout, relu=relu, n_x=n_x)
+    flops = 2 * b * xd * yd * cout * 9 * cp
+    return pl.pallas_call(
+        kernel,
+        grid=(b * n_x,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
+            pl.BlockSpec((9, cp, cout), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tx, yd, cout),
+            lambda t, n_x=n_x: (t // n_x, t % n_x, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, xd, yd, cout), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, tx + 8, (yd + 2) * cp), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=x.size + 9 * w9.size,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(xp, w9, bias_i32)
+
+
+def conv2d_int8_pallas(x: jax.Array, w: jax.Array, bias: jax.Array, *,
+                       tx: int = 8, interpret: bool = False) -> jax.Array:
+    """Reference conv2d layer (k5/s2/p2) via s2d + the Pallas kernel."""
+    xs = conv_fast.space_to_depth(x.astype(jnp.int8))
+    w3 = conv_fast.conv_weights_s2d(w)
+    return conv3x3_s1_int8(xs, w3, bias, tx=tx, interpret=interpret)
+
+
+def deconv2d_int8_pallas(x: jax.Array, w: jax.Array, bias: jax.Array, *,
+                         tx: int = 8, interpret: bool = False) -> jax.Array:
+    """Reference deconv522 layer via the Pallas kernel + depth-to-space."""
+    w3 = conv_fast.deconv_weights_d2s(w)  # (3, 3, C, 4*Cout)
+    o = w.shape[0]
+    bias4 = jnp.tile(bias.reshape(1, o), (4, 1)).reshape(4 * o)
+    y = conv3x3_s1_int8(x.astype(jnp.int8), w3, bias4, tx=tx,
+                        interpret=interpret)
+    return conv_fast.depth_to_space(y)
