@@ -1,0 +1,119 @@
+"""Training driver: RD training of the float codec with checkpoint/resume.
+
+Usage:
+    python -m simple_image_compression_network_tpu.train_loop \
+        --steps 1000 --crop 256 --batch 8 --lambda 0.01 \
+        [--data /path/to/images] [--ckpt-dir runs/hp01] [--mesh dp,sp]
+
+Without --data, trains on synthetic 1/f images (no dataset required).
+Multi-chip: batch is sharded over 'data' and the crop's X axis over 'x'
+(GSPMD inserts halo exchanges for the convs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from . import train
+from .parallel import distributed, mesh as meshlib
+from .utils import data as datalib
+from .utils import train_ckpt
+from .utils.cache import enable_compile_cache
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="hyperprior",
+                    choices=["hyperprior", "factorized"])
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--rd-lambda", type=float, default=0.01, dest="rd_lambda")
+    ap.add_argument("--data", default=None, help="image folder (else synthetic)")
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--ckpt-every", type=int, default=500)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel mesh dim (0 = all devices)")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="spatial mesh dim over crop X")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    enable_compile_cache()
+    distributed.initialize_multihost()
+
+    cfg = train.TrainConfig(model=args.model, rd_lambda=args.rd_lambda,
+                            lr=args.lr, crop=args.crop, batch=args.batch)
+    key = jax.random.key(args.seed)
+    model, params, opt_state = train.init_state(
+        cfg, key, input_shape=(args.batch, args.crop, args.crop, 3))
+    step_fn = train.make_train_step(cfg)
+
+    n_dev = len(jax.devices())
+    dp = args.dp or max(1, n_dev // args.sp)
+    if dp * args.sp > 1:
+        mesh = meshlib.make_mesh((dp, args.sp), ("data", "x"))
+        repl = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P("data", "x", None, None))
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        step_fn = jax.jit(step_fn,
+                          in_shardings=(repl, repl, batch_sh, None),
+                          out_shardings=(repl, repl, repl))
+    else:
+        batch_sh = None
+        step_fn = jax.jit(step_fn)
+
+    start_step = 0
+    if args.ckpt_dir:
+        last = train_ckpt.latest(args.ckpt_dir)
+        if last:
+            start_step, params, opt_state = train_ckpt.restore(
+                last, params, opt_state)
+            print(f"resumed from {last} at step {start_step}")
+
+    if args.data:
+        images = np.stack([datalib.load_image(p)
+                           for p in datalib.list_images(args.data)])
+    else:
+        images = datalib.synthetic_images(16, 512, 512, seed=args.seed)
+
+    rng = np.random.default_rng(args.seed + start_step)
+    t0 = time.perf_counter()
+    for step in range(start_step, args.steps):
+        batch = jnp.asarray(datalib.random_crops(images, args.crop,
+                                                 args.batch, rng))
+        if batch_sh is not None:
+            batch = jax.device_put(batch, batch_sh)
+        params, opt_state, metrics = step_fn(params, opt_state, batch,
+                                             jax.random.fold_in(key, step))
+        if (step + 1) % args.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = args.log_every / (time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            print(f"step {step+1:6d}  loss {m['loss']:.4f}  "
+                  f"bpp {m['bpp']:.4f}  psnr {m['psnr']:.2f}  "
+                  f"({rate:.2f} steps/s)", flush=True)
+        if args.ckpt_dir and (step + 1) % args.ckpt_every == 0:
+            if distributed.is_primary():
+                train_ckpt.save(os.path.join(args.ckpt_dir,
+                                             f"ckpt_{step+1}.msgpack"),
+                                step + 1, params, opt_state)
+    if args.ckpt_dir and distributed.is_primary():
+        train_ckpt.save(os.path.join(args.ckpt_dir,
+                                     f"ckpt_{args.steps}.msgpack"),
+                        args.steps, params, opt_state)
+    return params
+
+
+if __name__ == "__main__":
+    main()
