@@ -78,6 +78,33 @@ def main():
         if mps > best_mps:
             best_mps, best_b, best_dt = mps, b, dt
 
+    # secondary metrics: end-to-end bitstream codec on one synthetic image
+    extra = {}
+    try:
+        from simple_image_compression_network_tpu.codec import int_codec
+        from simple_image_compression_network_tpu.utils import data as datalib
+        img = datalib.synthetic_images(1, 768, 512, seed=3)[0]
+        xi = jnp.asarray(img[None].view(np.int8))
+        t0 = time.perf_counter()
+        stream = int_codec.compress(params, xi)
+        t_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x_hat, z_hat = int_codec.decompress(params, stream)
+        t_dec = time.perf_counter() - t0
+        direct = None
+        from simple_image_compression_network_tpu.models import codec_int
+        direct = codec_int.eight_layers_net(params, xi)
+        bit_exact = bool((np.asarray(x_hat) == np.asarray(direct)).all())
+        extra = {
+            "bitstream_bpp": round(8.0 * len(stream) / (768 * 512), 3),
+            "bitstream_ratio": round(768 * 512 * 3 / len(stream), 2),
+            "decode_bit_exact": bit_exact,
+            "host_encode_s": round(t_enc, 3),
+            "host_decode_s": round(t_dec, 3),
+        }
+    except Exception as e:  # secondary metrics must never break the bench
+        extra = {"bitstream_error": repr(e)[:120]}
+
     baseline_mps = 0.25  # FPGA floor, BASELINE.md
     print(json.dumps({
         "metric": "kodak_768x512_encode_decode_throughput_per_chip",
@@ -85,7 +112,7 @@ def main():
         "unit": "megapixels/s",
         "vs_baseline": round(best_mps / baseline_mps, 1),
         "detail": {"batch": best_b, "ms_per_step": round(best_dt * 1e3, 3),
-                   "device": str(jax.devices()[0]).strip()},
+                   "device": str(jax.devices()[0]).strip(), **extra},
     }))
 
 

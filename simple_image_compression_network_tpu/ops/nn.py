@@ -151,6 +151,34 @@ def channelwise_op(x: jax.Array, params: jax.Array, op: str = "add"
 
 
 # ---------------------------------------------------------------------------
+# Binary / XNOR algebra (interpret.hpp:57-108) — BNN capability parity
+# ---------------------------------------------------------------------------
+
+def xnor_popcount_fc(x_bits: jax.Array, w_bits: jax.Array) -> jax.Array:
+    """Binary GEMV via XNOR-popcount (XnorMul semantics, interpret.hpp:57-79).
+
+    Bits encode {-1,+1} as {0,1}; the MAC counts agreements:
+    out = sum XNOR(x, w) = K - popcount(x ^ w).  x: (N, K) {0,1};
+    w: (O, K) {0,1} -> (N, O) int32 agreement counts.
+    """
+    k = x_bits.shape[-1]
+    xs = x_bits.astype(jnp.int32) * 2 - 1
+    ws = w_bits.astype(jnp.int32) * 2 - 1
+    pm = lax.dot_general(xs, ws, (((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.int32)
+    return (pm + k) // 2
+
+
+def binary_fc(x_bits: jax.Array, w_bits: jax.Array) -> jax.Array:
+    """±1 binary matmul (Binary recast, interpret.hpp:81-108): returns the
+    signed dot product in int32."""
+    xs = x_bits.astype(jnp.int8) * 2 - 1
+    ws = w_bits.astype(jnp.int8) * 2 - 1
+    return lax.dot_general(xs, ws, (((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # Stream utilities (streamtools.h) — the FIFO fabric becomes plain jnp
 # ---------------------------------------------------------------------------
 

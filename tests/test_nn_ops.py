@@ -107,3 +107,14 @@ def test_tmr_vote_and_flags(rng):
                                        jnp.asarray(x.view(np.int8)),
                                        fault_mask=jnp.asarray(mask3))
     assert int(err3) & 2
+
+
+def test_xnor_popcount_fc(rng):
+    x = rng.integers(0, 2, size=(2, 16)).astype(np.int8)
+    w = rng.integers(0, 2, size=(3, 16)).astype(np.int8)
+    out = np.asarray(nn.xnor_popcount_fc(jnp.asarray(x), jnp.asarray(w)))
+    ref = np.array([[np.sum(x[i] == w[j]) for j in range(3)]
+                    for i in range(2)])
+    np.testing.assert_array_equal(out, ref)
+    signed = np.asarray(nn.binary_fc(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_array_equal(signed, 2 * ref - 16)
