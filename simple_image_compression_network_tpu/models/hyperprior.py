@@ -83,6 +83,21 @@ class HyperSynthesis(nn.Module):
         return jnp.exp(jnp.clip(h, -10.0, 10.0))
 
 
+class HyperSynthesisMeanScale(nn.Module):
+    """h_s variant emitting (mu, sigma) per latent (mean-scale hyperprior)."""
+
+    n: int = 128
+    m: int = 192
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> tuple[jax.Array, jax.Array]:
+        h = nn.relu(_deconv(self.n)(z))
+        h = nn.relu(_deconv(self.n)(h))
+        h = nn.Conv(2 * self.m, (3, 3), padding="SAME")(h)
+        mu, log_sigma = jnp.split(h, 2, axis=-1)
+        return mu, jnp.exp(jnp.clip(log_sigma, -10.0, 10.0))
+
+
 class FactorizedPrior(nn.Module):
     """g_a/g_s + factorized entropy bottleneck on y (Balle 2017 style)."""
 
@@ -157,4 +172,57 @@ class ScaleHyperprior(nn.Module):
         return self.g_s(y_hat)
 
     def scales_from_z(self, z_hat: jax.Array) -> jax.Array:
+        return self.h_s(z_hat)
+
+
+class MeanScaleHyperprior(nn.Module):
+    """Mean-scale hyperprior (Minnen 2018 style, without the autoregressive
+    context model): h_s predicts (mu, sigma); y is coded as round(y - mu) + mu
+    so the coded symbols are zero-mean."""
+
+    n: int = 128
+    m: int = 192
+
+    def setup(self):
+        self.g_a = AnalysisTransform(self.n, self.m)
+        self.g_s = SynthesisTransform(self.n)
+        self.h_a = HyperAnalysis(self.n)
+        self.h_s = HyperSynthesisMeanScale(self.n, self.m)
+        self.bottleneck = entropy.FactorizedEntropy(self.n)
+
+    def __call__(self, x: jax.Array, *, key: jax.Array | None = None
+                 ) -> Dict[str, jax.Array]:
+        y = self.g_a(x)
+        z = self.h_a(y)
+        if key is not None:
+            ky, kz = jax.random.split(key)
+            z_hat = entropy.quantize_noise(z, kz)
+        else:
+            z_hat = entropy.quantize_ste(z)
+        mu, sigma = self.h_s(z_hat)
+        if key is not None:
+            y_hat = entropy.quantize_noise(y, ky)
+        else:
+            y_hat = entropy.quantize_ste(y - mu) + mu
+        bits_y = entropy.GaussianConditional.bits(y_hat, sigma, mu)
+        bits_z = self.bottleneck(z_hat)
+        x_hat = self.g_s(y_hat)
+        num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+        bits = bits_y + bits_z
+        return {"x_hat": x_hat, "y_hat": y_hat, "z_hat": z_hat,
+                "mu": mu, "sigma": sigma, "bits_y": bits_y, "bits_z": bits_z,
+                "bits": bits, "bpp": bits / num_pixels}
+
+    def encode_arrays(self, x: jax.Array):
+        """(symbols round(y-mu), z_hat, mu, sigma)."""
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat = jnp.round(z)
+        mu, sigma = self.h_s(z_hat)
+        return jnp.round(y - mu), z_hat, mu, sigma
+
+    def decode_arrays(self, y_hat: jax.Array) -> jax.Array:
+        return self.g_s(y_hat)
+
+    def params_from_z(self, z_hat: jax.Array):
         return self.h_s(z_hat)

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .models.hyperprior import ScaleHyperprior, FactorizedPrior
+from .models.hyperprior import (ScaleHyperprior, FactorizedPrior,
+                                MeanScaleHyperprior)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,6 +36,8 @@ class TrainConfig:
 def build_model(cfg: TrainConfig):
     if cfg.model == "hyperprior":
         return ScaleHyperprior(cfg.n, cfg.m)
+    if cfg.model == "meanscale":
+        return MeanScaleHyperprior(cfg.n, cfg.m)
     if cfg.model == "factorized":
         return FactorizedPrior(cfg.n, cfg.m)
     raise ValueError(cfg.model)

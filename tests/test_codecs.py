@@ -71,3 +71,22 @@ def test_hyper_codec_roundtrip(rng):
     x_ref = codec._decode_arrays(jnp.asarray(np.asarray(y_enc, np.float32)))
     np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_ref))
     assert codec.stats(x.shape, data)["bpp"] > 0
+
+
+def test_meanscale_codec_roundtrip(rng):
+    from simple_image_compression_network_tpu.models.hyperprior import (
+        MeanScaleHyperprior)
+    model = MeanScaleHyperprior(n=32, m=48)
+    x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), x, key=jax.random.key(1))
+    codec = hyper_codec.MeanScaleCodec(model, params)
+    data = codec.compress(x)
+    x_hat, y_hat = codec.decompress(data)
+    assert x_hat.shape == x.shape
+    syms, z_enc, mu, _ = codec._encode_arrays(x)
+    y_ref = jnp.asarray(np.asarray(syms, np.float32)) + mu
+    np.testing.assert_allclose(np.asarray(y_hat), np.asarray(y_ref),
+                               rtol=0, atol=1e-5)
+    x_ref = codec._decode_arrays(y_ref)
+    np.testing.assert_allclose(np.asarray(x_hat), np.asarray(x_ref),
+                               rtol=0, atol=1e-5)
