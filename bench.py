@@ -69,7 +69,7 @@ def main():
         mps = batch * 768 * 512 / dt / 1e6
         return mps, dt
 
-    batches = [args.batch] if args.batch else [1, 2, 4, 8]
+    batches = [args.batch] if args.batch else [1, 8, 16]
     best_mps, best_b, best_dt = 0.0, 0, 0.0
     for b in batches:
         mps, dt = measure(b)

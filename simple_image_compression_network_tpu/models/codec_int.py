@@ -53,8 +53,11 @@ _DECONV_IMPL = {
 }
 
 # Default schedule: fastest measured configuration on TPU v5e (bench.py):
-# 358 MP/s encode+decode at batch 8 vs 101 MP/s for the naive lax plan.
-DEFAULT_PLAN = ("gemm", "lax", "lax", "lax", "d2s", "d2s", "d2s", "d2s")
+# ~430 MP/s encode+decode at batch 8 (461 at batch 16) vs 101 MP/s for the
+# naive lax plan.  The Pallas fused kernel wins layers 0 and 6; XLA's conv
+# path wins the others.  Off-TPU the pallas impls lower to the bit-identical
+# XLA forms.
+DEFAULT_PLAN = ("pallas", "lax", "lax", "lax", "d2s", "d2s", "pd2s", "d2s")
 
 
 def _plan(impl, cfg: ModelConfig):

@@ -145,9 +145,19 @@ def conv3x3_s1_int8(x: jax.Array, w3: jax.Array, bias: jax.Array, *,
     )(xp, w9, bias_i32)
 
 
+def _tpu_available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def conv2d_int8_pallas(x: jax.Array, w: jax.Array, bias: jax.Array, *,
                        tx: int = 8, interpret: bool = False) -> jax.Array:
-    """Reference conv2d layer (k5/s2/p2) via s2d + the Pallas kernel."""
+    """Reference conv2d layer (k5/s2/p2) via s2d + the Pallas kernel.
+
+    On non-TPU backends this lowers to the bit-identical XLA s2d form
+    (resource-tag semantics: same math, different engine).
+    """
+    if not interpret and not _tpu_available():
+        return conv_fast.conv2d_int8_s2d(x, w, bias)
     xs = conv_fast.space_to_depth(x.astype(jnp.int8))
     w3 = conv_fast.conv_weights_s2d(w)
     return conv3x3_s1_int8(xs, w3, bias, tx=tx, interpret=interpret)
@@ -155,7 +165,12 @@ def conv2d_int8_pallas(x: jax.Array, w: jax.Array, bias: jax.Array, *,
 
 def deconv2d_int8_pallas(x: jax.Array, w: jax.Array, bias: jax.Array, *,
                          tx: int = 8, interpret: bool = False) -> jax.Array:
-    """Reference deconv522 layer via the Pallas kernel + depth-to-space."""
+    """Reference deconv522 layer via the Pallas kernel + depth-to-space.
+
+    Falls back to the bit-identical XLA d2s form off-TPU.
+    """
+    if not interpret and not _tpu_available():
+        return conv_fast.deconv2d_int8_d2s(x, w, bias)
     w3 = conv_fast.deconv_weights_d2s(w)  # (3, 3, C, 4*Cout)
     o = w.shape[0]
     bias4 = jnp.tile(bias.reshape(1, o), (4, 1)).reshape(4 * o)
