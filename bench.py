@@ -85,11 +85,16 @@ def main():
         from simple_image_compression_network_tpu.utils import data as datalib
         img = datalib.synthetic_images(1, 768, 512, seed=3)[0]
         xi = jnp.asarray(img[None].view(np.int8))
+        cdfs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "checkpoints", "latent_cdfs.npz")
+        static_cdfs = (np.load(cdfs_path)["cdfs"]
+                       if os.path.exists(cdfs_path) else None)
         t0 = time.perf_counter()
-        stream = int_codec.compress(params, xi)
+        stream = int_codec.compress(params, xi, static_cdfs=static_cdfs)
         t_enc = time.perf_counter() - t0
         t0 = time.perf_counter()
-        x_hat, z_hat = int_codec.decompress(params, stream)
+        x_hat, z_hat = int_codec.decompress(params, stream,
+                                            static_cdfs=static_cdfs)
         t_dec = time.perf_counter() - t0
         direct = None
         from simple_image_compression_network_tpu.models import codec_int
