@@ -69,7 +69,7 @@ def main():
         mps = batch * 768 * 512 / dt / 1e6
         return mps, dt
 
-    batches = [args.batch] if args.batch else [1, 8, 16]
+    batches = [args.batch] if args.batch else [1, 8, 16, 32]
     best_mps, best_b, best_dt = 0.0, 0, 0.0
     for b in batches:
         mps, dt = measure(b)
@@ -96,9 +96,8 @@ def main():
         x_hat, z_hat = int_codec.decompress(params, stream,
                                             static_cdfs=static_cdfs)
         t_dec = time.perf_counter() - t0
-        direct = None
         from simple_image_compression_network_tpu.models import codec_int
-        direct = codec_int.eight_layers_net(params, xi)
+        direct = jax.jit(codec_int.eight_layers_net)(params, xi)
         bit_exact = bool((np.asarray(x_hat) == np.asarray(direct)).all())
         extra = {
             "bitstream_bpp": round(8.0 * len(stream) / (768 * 512), 3),

@@ -14,6 +14,7 @@ latent entropy in bits (typically < 2 bits/symbol on natural images).
 
 from __future__ import annotations
 
+import functools
 import struct
 from typing import Dict, Tuple
 
@@ -27,6 +28,21 @@ from . import container, entropy, rans
 
 _MAX_SYM = 128  # latent values are post-ReLU int8: 0..127
 _L = _MAX_SYM + 1  # + escape bucket (never used for in-range data)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_analysis(cfg: ModelConfig):
+    """Compiled analysis transform, cached per topology.
+
+    Eager (op-by-op) execution of the 8-layer stack dispatches hundreds of
+    ops individually — over a tunneled TPU that is seconds-to-minutes; the
+    compiled step is milliseconds."""
+    return jax.jit(lambda p, x: codec_int.analysis_int8(p, x, cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_synthesis(cfg: ModelConfig):
+    return jax.jit(lambda p, z: codec_int.synthesis_int8(p, z, cfg))
 
 
 def _histogram_cdfs(z: np.ndarray) -> np.ndarray:
@@ -62,7 +78,8 @@ def build_static_cdfs(params: Dict[str, jax.Array], images,
                       cfg: ModelConfig = REFERENCE_NET) -> np.ndarray:
     """Fit per-channel latent CDFs on sample images (shipped with the model,
     so bitstreams carry no tables)."""
-    zs = [np.asarray(codec_int.analysis_int8(params, x, cfg)) for x in images]
+    fa = _jit_analysis(cfg)
+    zs = [np.asarray(fa(params, x)) for x in images]
     z = np.concatenate([a.reshape(-1, a.shape[-1]) for a in zs], axis=0)
     return _histogram_cdfs(z[None])
 
@@ -76,7 +93,7 @@ def compress(params: Dict[str, jax.Array], x: jax.Array,
     embedded; otherwise per-image histograms are built and serialized
     (2*C*(L) bytes of overhead — fine for large images).
     """
-    z = np.asarray(codec_int.analysis_int8(params, x, cfg))
+    z = np.asarray(_jit_analysis(cfg)(params, x))
     n, zx, zy, c = z.shape
     assert n == 1, "one image per bitstream"
     cdfs = _histogram_cdfs(z) if static_cdfs is None else static_cdfs
@@ -108,7 +125,7 @@ def decompress(params: Dict[str, jax.Array], data: bytes,
     z = syms.reshape(1, zx, zy, c).astype(np.int8)
     cfg = (REFERENCE_NET if (ix, iy) == (768, 512)
            else reference_net_for_input(ix, iy))
-    x_hat = codec_int.synthesis_int8(params, jnp.asarray(z), cfg)
+    x_hat = _jit_synthesis(cfg)(params, jnp.asarray(z))
     return x_hat, jnp.asarray(z)
 
 
