@@ -10,7 +10,7 @@ import struct
 from typing import List, Tuple
 
 MAGIC = b"SICT"
-VERSION = 1
+VERSION = 2  # v2: entropy payloads use interleaved N-lane rANS (ilrans)
 
 CODEC_INT8 = 1        # bit-exact integer autoencoder + lossless latent coding
 CODEC_HYPERPRIOR = 2  # float transforms + scale hyperprior

@@ -1,22 +1,26 @@
 """End-to-end bitstream codec for the flagship bit-exact integer model.
 
-encode: image -> integer analysis transform (bit-exact, TPU) -> int8 latent
-        (values 0..127) -> lossless rANS coding with per-channel adaptive
-        histograms -> container bytes.
-decode: container bytes -> rANS decode (exact latent) -> integer synthesis
-        transform -> reconstruction, bit-exact with running the autoencoder
-        directly (the reference's correctness bar, conv3_nonsquare_tb.cpp
-        :1068-1123, extended through a real bitstream).
+encode: images -> integer analysis transform (bit-exact, TPU) -> int8 latent
+        (values 0..127) -> N-lane interleaved rANS (``codec/ilrans.py``),
+        coded ON DEVICE (``codec/device_rans.py``) or by the native C++
+        coder -> container bytes (one stream per image, one device pass per
+        batch).
+decode: container bytes -> interleaved rANS decode (exact latent) -> integer
+        synthesis transform -> reconstruction, bit-exact with running the
+        autoencoder directly (the reference's correctness bar,
+        conv3_nonsquare_tb.cpp:1068-1123, extended through a real bitstream).
 
-The reference's 4:1 fixed bottleneck becomes ~4/(8/H) : 1 where H is the
-latent entropy in bits (typically < 2 bits/symbol on natural images).
+Latent layout: (zx*zy, C) channel-fastest, lane = flat_index % (m*C), so
+every rANS lane's context (its channel) is FIXED — the on-device decoder
+needs no CDF gathers.  The reference's 4:1 fixed bottleneck becomes
+~4/(8/H):1 where H is the latent entropy in bits.
 """
 
 from __future__ import annotations
 
 import functools
 import struct
-from typing import Dict, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,10 +28,11 @@ import numpy as np
 
 from ..config import ModelConfig, REFERENCE_NET, reference_net_for_input
 from ..models import codec_int
-from . import container, entropy, rans
+from . import container, device_rans, entropy, ilrans, rans
 
 _MAX_SYM = 128  # latent values are post-ReLU int8: 0..127
 _L = _MAX_SYM + 1  # + escape bucket (never used for in-range data)
+DEFAULT_LANE_MULT = 2  # lanes = mult * channels
 
 
 @functools.lru_cache(maxsize=None)
@@ -84,49 +89,165 @@ def build_static_cdfs(params: Dict[str, jax.Array], images,
     return _histogram_cdfs(z[None])
 
 
+def _pick_coder(coder: str) -> str:
+    if coder != "auto":
+        return coder
+    return "device" if jax.default_backend() == "tpu" else "native"
+
+
+def _lane_cdf(cdfs: np.ndarray, n_lanes: int) -> np.ndarray:
+    """(C, L+1) context CDFs -> per-lane rows (lane k <-> channel k % C)."""
+    c = cdfs.shape[0]
+    return cdfs[np.arange(n_lanes) % c]
+
+
+@functools.partial(jax.jit, static_argnames=("t_steps", "n_lanes"))
+def _device_encode_batch(z: jax.Array, lane_cdf: jax.Array, *,
+                         t_steps: int, n_lanes: int):
+    """(B, zx, zy, C) int8 latents -> per-image word streams on device."""
+    b = z.shape[0]
+    syms = z.astype(jnp.int32).reshape(b, t_steps, n_lanes)
+    enc = jax.vmap(lambda s: device_rans.encode(s, lane_cdf, None))
+    return enc(syms)
+
+
+@functools.partial(jax.jit, static_argnames=("t_steps",))
+def _device_decode_batch(words: jax.Array, lane_cdf: jax.Array, *,
+                         t_steps: int):
+    dec = jax.vmap(lambda w: device_rans.decode(w, lane_cdf, None,
+                                                t_steps=t_steps))
+    return dec(words)
+
+
+def compress_batch(params: Dict[str, jax.Array], x: jax.Array,
+                   cfg: ModelConfig = REFERENCE_NET,
+                   static_cdfs: np.ndarray | None = None,
+                   coder: str = "auto",
+                   lane_mult: int = DEFAULT_LANE_MULT) -> List[bytes]:
+    """x: (B, X, Y, 3) int8/uint8 wire images -> B container bytestrings.
+
+    One batched device pass for the transform and (coder="device") one for
+    the entropy stage.  With ``static_cdfs`` (from ``build_static_cdfs``)
+    the tables are not embedded; otherwise per-image histograms are built
+    and serialized (2*C*L bytes of overhead per image).
+    """
+    coder = _pick_coder(coder)
+    z_dev = _jit_analysis(cfg)(params, x)
+    b, zx, zy, c = z_dev.shape
+    n_lanes = lane_mult * c
+    t_steps = (zx * zy) // lane_mult
+    assert (zx * zy) % lane_mult == 0, "lane_mult must divide zx*zy"
+    header = struct.pack("<HHHHH", x.shape[1], x.shape[2], zx, zy, c)
+
+    if static_cdfs is not None:
+        per_image_cdfs = [static_cdfs] * b
+        cdf_sections = [b""] * b
+    else:
+        z_np = np.asarray(z_dev)
+        per_image_cdfs = [_histogram_cdfs(z_np[i:i + 1]) for i in range(b)]
+        cdf_sections = [_serialize_cdfs(cd) for cd in per_image_cdfs]
+
+    out: List[bytes] = []
+    n_syms = zx * zy * c
+    if coder == "device" and static_cdfs is not None:
+        lane_cdf = jnp.asarray(_lane_cdf(static_cdfs, n_lanes))
+        words, counts = _device_encode_batch(
+            z_dev, lane_cdf, t_steps=t_steps, n_lanes=n_lanes)
+        words_np, counts_np = np.asarray(words), np.asarray(counts)
+        for i in range(b):
+            payload = device_rans.bytes_from_words(
+                words_np[i], int(counts_np[i]), n_syms, n_lanes)
+            out.append(container.pack(
+                container.CODEC_INT8, [header, cdf_sections[i], payload]))
+        return out
+
+    # native / per-image-table path (host coder, still batched transform)
+    z_np = np.asarray(z_dev)
+    ctx = np.broadcast_to(np.arange(c, dtype=np.int32),
+                          (zx * zy, c)).ravel()
+    for i in range(b):
+        syms = z_np[i].reshape(-1).astype(np.int32)
+        use_native = coder != "golden"
+        payload = rans.encode_interleaved(syms, ctx, per_image_cdfs[i],
+                                          n_lanes=n_lanes,
+                                          use_native=use_native)
+        out.append(container.pack(container.CODEC_INT8,
+                                  [header, cdf_sections[i], payload]))
+    return out
+
+
+def decompress_batch(params: Dict[str, jax.Array], streams: Sequence[bytes],
+                     static_cdfs: np.ndarray | None = None,
+                     coder: str = "auto",
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """B containers -> (reconstructions (B, X, Y, 3) int8, latents int8).
+
+    All streams must share image geometry (one synthesis batch); the
+    entropy decode runs as ONE batched on-device call (coder="device").
+    """
+    coder = _pick_coder(coder)
+    metas = []
+    for data in streams:
+        codec_id, (header, cdf_bytes, payload) = container.unpack(data)
+        assert codec_id == container.CODEC_INT8
+        metas.append((struct.unpack("<HHHHH", header), cdf_bytes, payload))
+    (ix, iy, zx, zy, c) = metas[0][0]
+    assert all(m[0] == metas[0][0] for m in metas), "mixed geometries"
+    n_syms, n_lanes, prec, off = ilrans.unpack_header(metas[0][2])
+    assert n_syms == zx * zy * c
+    t_steps = n_syms // n_lanes
+
+    def cdfs_of(i):
+        if metas[i][1]:
+            return _deserialize_cdfs(metas[i][1], c)
+        assert static_cdfs is not None, "bitstream needs the model's tables"
+        return static_cdfs
+
+    b = len(streams)
+    if coder == "device" and not any(m[1] for m in metas):
+        lane_cdf = jnp.asarray(_lane_cdf(cdfs_of(0), n_lanes))
+        words = np.stack([
+            device_rans.words_from_bytes(m[2][off:], t_steps, n_lanes)
+            for m in metas])
+        syms, consumed, x_fin = _device_decode_batch(
+            jnp.asarray(words), lane_cdf, t_steps=t_steps)
+        consumed_np = np.asarray(consumed)
+        for i, m in enumerate(metas):
+            if int(consumed_np[i]) != (len(m[2]) - off) // 2:
+                raise ValueError(f"corrupt stream {i}")
+        if not (np.asarray(x_fin) == ilrans.STATE_LB).all():
+            raise ValueError("corrupt stream (final state)")
+        z = np.asarray(syms).reshape(b, zx, zy, c).astype(np.int8)
+    else:
+        ctx = np.broadcast_to(np.arange(c, dtype=np.int32),
+                              (zx * zy, c)).ravel()
+        zs = []
+        for i, m in enumerate(metas):
+            syms = rans.decode_interleaved(m[2], ctx, cdfs_of(i),
+                                           use_native=(coder != "golden"))
+            zs.append(syms.reshape(zx, zy, c).astype(np.int8))
+        z = np.stack(zs)
+    cfg = (REFERENCE_NET if (ix, iy) == (768, 512)
+           else reference_net_for_input(ix, iy))
+    zj = jnp.asarray(z)
+    x_hat = _jit_synthesis(cfg)(params, zj)
+    return x_hat, zj
+
+
 def compress(params: Dict[str, jax.Array], x: jax.Array,
              cfg: ModelConfig = REFERENCE_NET,
-             static_cdfs: np.ndarray | None = None) -> bytes:
-    """x: (1, X, Y, 3) int8/uint8 wire image -> container bytes.
-
-    With `static_cdfs` (from ``build_static_cdfs``) the tables are not
-    embedded; otherwise per-image histograms are built and serialized
-    (2*C*(L) bytes of overhead — fine for large images).
-    """
-    z = np.asarray(_jit_analysis(cfg)(params, x))
-    n, zx, zy, c = z.shape
-    assert n == 1, "one image per bitstream"
-    cdfs = _histogram_cdfs(z) if static_cdfs is None else static_cdfs
-    syms = z.reshape(-1, c).astype(np.int32)
-    ctx = np.broadcast_to(np.arange(c, dtype=np.int32), syms.shape)
-    payload = rans.encode(syms.ravel(), ctx.ravel(), cdfs)
-    header = struct.pack("<HHHHH", x.shape[1], x.shape[2], zx, zy, c)
-    cdf_section = b"" if static_cdfs is not None else _serialize_cdfs(cdfs)
-    return container.pack(container.CODEC_INT8,
-                          [header, cdf_section, payload])
+             static_cdfs: np.ndarray | None = None,
+             coder: str = "auto") -> bytes:
+    """Single-image convenience wrapper around ``compress_batch``."""
+    assert x.shape[0] == 1, "use compress_batch for B > 1"
+    return compress_batch(params, x, cfg, static_cdfs, coder)[0]
 
 
 def decompress(params: Dict[str, jax.Array], data: bytes,
                static_cdfs: np.ndarray | None = None,
-               ) -> Tuple[jax.Array, jax.Array]:
-    """container bytes -> (reconstruction int8 (1,X,Y,3), latent int8)."""
-    codec_id, (header, cdf_bytes, payload) = container.unpack(data)
-    assert codec_id == container.CODEC_INT8
-    ix, iy, zx, zy, c = struct.unpack("<HHHHH", header)
-    if cdf_bytes:
-        cdfs = _deserialize_cdfs(cdf_bytes, c)
-    else:
-        assert static_cdfs is not None, "bitstream needs the model's tables"
-        cdfs = static_cdfs
-    nsym = zx * zy * c
-    ctx = np.broadcast_to(np.arange(c, dtype=np.int32),
-                          (zx * zy, c)).ravel()
-    syms, _ = rans.decode(payload, nsym, ctx, cdfs)
-    z = syms.reshape(1, zx, zy, c).astype(np.int8)
-    cfg = (REFERENCE_NET if (ix, iy) == (768, 512)
-           else reference_net_for_input(ix, iy))
-    x_hat = _jit_synthesis(cfg)(params, jnp.asarray(z))
-    return x_hat, jnp.asarray(z)
+               coder: str = "auto") -> Tuple[jax.Array, jax.Array]:
+    """Single-image convenience wrapper around ``decompress_batch``."""
+    return decompress_batch(params, [data], static_cdfs, coder)
 
 
 def compression_stats(x_shape, data: bytes) -> Dict[str, float]:

@@ -13,42 +13,85 @@ followed by a 32-bit zig-zag bypass value.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
+
+from . import ilrans
 
 _RANS_L = 1 << 23
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "librans.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "rans.cpp")
+_HASH_PATH = _SO_PATH + ".sha256"
 
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build_native() -> None:
+def _src_hash() -> str:
+    with open(_SRC_PATH, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build_native(src_hash: str) -> None:
     subprocess.run(
         ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC_PATH,
          "-o", _SO_PATH],
         check=True, capture_output=True)
+    with open(_HASH_PATH, "w") as f:
+        f.write(src_hash)
+
+
+def _is_stale() -> bool:
+    """Content-hash staleness: checkout order can't fool it (mtime can)."""
+    if not os.path.exists(_SO_PATH) or not os.path.exists(_HASH_PATH):
+        return True
+    with open(_HASH_PATH) as f:
+        return f.read().strip() != _src_hash()
 
 
 def load_native(rebuild: bool = False) -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native coder; None if unavailable."""
+    """Load (building if needed) the native coder.
+
+    A build/load failure is NOT silent: unless SICN_ALLOW_PY_RANS=1 is set it
+    raises; with the escape hatch it warns loudly and returns None (callers
+    fall back to the ~1000x slower Python golden).  BENCH_r01's 50 s/image
+    decode was exactly this fallback happening silently (VERDICT weak #1).
+    """
     global _lib
     if _lib is not None and not rebuild:
         return _lib
     try:
-        if rebuild or not os.path.exists(_SO_PATH) or (
-                os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)):
-            _build_native()
+        src_hash = _src_hash()
+        if rebuild or _is_stale():
+            _build_native(src_hash)
         lib = ctypes.CDLL(_SO_PATH)
-    except (OSError, subprocess.CalledProcessError):
+        lib.ilrans_encode  # presence check: stale .so without new symbols
+    except (OSError, subprocess.CalledProcessError, AttributeError) as e:
+        if os.environ.get("SICN_ALLOW_PY_RANS") != "1":
+            raise RuntimeError(
+                f"native rANS coder unavailable ({e!r}); set "
+                "SICN_ALLOW_PY_RANS=1 to allow the slow Python golden"
+            ) from e
+        warnings.warn(f"native rANS unavailable ({e!r}); using the "
+                      "~1000x slower Python golden", RuntimeWarning)
         return None
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.ilrans_encode.restype = ctypes.c_int64
+    lib.ilrans_encode.argtypes = [i32p, i32p, ctypes.c_int64, i32p,
+                                  ctypes.c_int32, ctypes.c_int32,
+                                  ctypes.c_int32, u16p]
+    lib.ilrans_decode.restype = ctypes.c_int64
+    lib.ilrans_decode.argtypes = [u16p, ctypes.c_int64, ctypes.c_int64, i32p,
+                                  i32p, ctypes.c_int32, ctypes.c_int32,
+                                  ctypes.c_int32, i32p]
     lib.rans_encode.restype = ctypes.c_int64
     lib.rans_encode.argtypes = [i32p, i32p, ctypes.c_int64, i32p,
                                 ctypes.c_int32, ctypes.c_int32, i32p,
@@ -183,3 +226,64 @@ def _decode_py(data: bytes, n: int, ctx, cdf, prec):
                 zz |= byte << (8 * k)
             raw[i] = np.int32(np.uint32((zz >> 1) ^ (-(zz & 1) & 0xFFFFFFFF)))
     return out, raw
+
+
+# ---------------------------------------------------------------------------
+# Interleaved N-lane rANS (codec/ilrans.py format) — the production host path
+# ---------------------------------------------------------------------------
+
+def encode_interleaved(syms: np.ndarray, ctx: np.ndarray, cdf: np.ndarray,
+                       n_lanes: int = ilrans.DEFAULT_LANES, prec: int = 16,
+                       *, use_native: bool = True) -> bytes:
+    """Encode via the native interleaved coder (golden fallback is gated)."""
+    syms = np.ascontiguousarray(syms, np.int32).ravel()
+    ctx = np.ascontiguousarray(ctx, np.int32).ravel()
+    lib = load_native() if use_native else None
+    if lib is None:
+        return ilrans.encode(syms, ctx, cdf, n_lanes, prec)
+    n = syms.size
+    header = ilrans.pack_header(n, n_lanes, prec)
+    if n == 0:
+        return header
+    syms, ctx = ilrans.pad_to_lanes(syms, ctx, n_lanes)
+    cdf = _asi32(cdf)
+    L = cdf.shape[1] - 1
+    words = np.empty(2 * n_lanes + syms.size, np.uint16)
+    n_words = lib.ilrans_encode(
+        syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        syms.size, cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        L, prec, n_lanes,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if n_words < 0:
+        raise RuntimeError(f"ilrans_encode failed ({n_words})")
+    return header + words[:n_words].astype("<u2").tobytes()
+
+
+def decode_interleaved(data: bytes, ctx: np.ndarray, cdf: np.ndarray,
+                       *, use_native: bool = True) -> np.ndarray:
+    """Decode an interleaved stream; returns int32 symbols (len(ctx))."""
+    lib = load_native() if use_native else None
+    if lib is None:
+        return ilrans.decode(data, ctx, cdf)
+    n, n_lanes, prec, off = ilrans.unpack_header(data)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    ctx = ilrans.pad_ctx(
+        np.ascontiguousarray(ctx, np.int32).ravel()[:n], n_lanes)
+    assert ctx.size % n_lanes == 0
+    cdf = _asi32(cdf)
+    L = cdf.shape[1] - 1
+    words = np.frombuffer(data, "<u2", offset=off)
+    out = np.empty(ctx.size, np.int32)
+    consumed = lib.ilrans_decode(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        words.size, ctx.size,
+        ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        L, prec, n_lanes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if consumed != words.size:
+        raise RuntimeError(f"ilrans_decode failed (consumed {consumed} of "
+                           f"{words.size} words)")
+    return out[:n]

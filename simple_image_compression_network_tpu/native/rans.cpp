@@ -155,3 +155,94 @@ int64_t rans_decode(const uint8_t* in, int64_t in_len, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Interleaved N-lane rANS (format of codec/ilrans.py)
+//
+// N coder states share one u16 word stream, renormalizing round-robin.
+// 32-bit state in [2^16, 2^32), 16-bit renorm words, prec <= 16: at most one
+// renormalization per symbol in each direction.  Symbol j -> lane j % N at
+// step j / N; the caller pads the symbol count to a multiple of N
+// (ilrans.pad_to_lanes).  Streams are bit-identical with the NumPy golden
+// and the JAX on-device coder.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Encode n symbols (n % n_lanes == 0, pre-padded).  words_out must hold
+// 2*n_lanes + n u16 (the hard bound).  Returns the word count, -2 on a
+// zero-frequency symbol.
+int64_t ilrans_encode(const int32_t* syms, const int32_t* ctx, int64_t n,
+                      const int32_t* cdf, int32_t L, int32_t prec,
+                      int32_t n_lanes, uint16_t* words_out) {
+  const int64_t cap = 2 * n_lanes + n;
+  std::vector<uint32_t> x(n_lanes, 1u << 16);
+  uint16_t* w = words_out + cap;  // push downward; stream reads forward
+  const int64_t t_steps = n / n_lanes;
+  for (int64_t t = t_steps - 1; t >= 0; --t) {
+    for (int32_t k = n_lanes - 1; k >= 0; --k) {
+      const int64_t j = t * n_lanes + k;
+      const int32_t* row = cdf + static_cast<int64_t>(ctx[j]) * (L + 1);
+      const int32_t s = syms[j];
+      const uint32_t start = static_cast<uint32_t>(row[s]);
+      const uint32_t freq = static_cast<uint32_t>(row[s + 1] - row[s]);
+      if (freq == 0) return -2;
+      if ((x[k] >> 16) >= freq) {
+        *--w = static_cast<uint16_t>(x[k] & 0xffff);
+        x[k] >>= 16;
+      }
+      x[k] = ((x[k] / freq) << prec) + (x[k] % freq) + start;
+    }
+  }
+  // Pushing downward reverses: to read (hi_k, lo_k) for k = 0..N-1 forward,
+  // push lo_k then hi_k for k = N-1..0.
+  for (int32_t k = n_lanes - 1; k >= 0; --k) {
+    *--w = static_cast<uint16_t>(x[k] & 0xffff);
+    *--w = static_cast<uint16_t>(x[k] >> 16);
+  }
+  const int64_t n_words = (words_out + cap) - w;
+  std::memmove(words_out, w, n_words * sizeof(uint16_t));
+  return n_words;
+}
+
+// Decode n symbols (n % n_lanes == 0; caller truncates padding).  Returns
+// words consumed, or -1 on stream over/under-run.
+int64_t ilrans_decode(const uint16_t* words, int64_t n_words, int64_t n,
+                      const int32_t* ctx, const int32_t* cdf, int32_t L,
+                      int32_t prec, int32_t n_lanes, int32_t* out_syms) {
+  if (n_words < 2 * n_lanes) return -1;
+  std::vector<uint32_t> x(n_lanes);
+  int64_t pos = 0;
+  for (int32_t k = 0; k < n_lanes; ++k) {
+    const uint32_t hi = words[pos++];
+    const uint32_t lo = words[pos++];
+    x[k] = (hi << 16) | lo;
+  }
+  const uint32_t mask = (1u << prec) - 1;
+  const int64_t t_steps = n / n_lanes;
+  for (int64_t t = 0; t < t_steps; ++t) {
+    for (int32_t k = 0; k < n_lanes; ++k) {
+      const int64_t j = t * n_lanes + k;
+      const int32_t* row = cdf + static_cast<int64_t>(ctx[j]) * (L + 1);
+      const uint32_t slot = x[k] & mask;
+      int32_t lo = 0, hi = L;
+      while (hi - lo > 1) {
+        const int32_t mid = (lo + hi) >> 1;
+        if (static_cast<uint32_t>(row[mid]) <= slot) lo = mid; else hi = mid;
+      }
+      const uint32_t start = static_cast<uint32_t>(row[lo]);
+      const uint32_t freq = static_cast<uint32_t>(row[lo + 1] - row[lo]);
+      x[k] = freq * (x[k] >> prec) + slot - start;
+      if (x[k] < (1u << 16)) {
+        if (pos >= n_words) return -1;
+        x[k] = (x[k] << 16) | words[pos++];
+      }
+      out_syms[j] = lo;
+    }
+  }
+  for (int32_t k = 0; k < n_lanes; ++k)
+    if (x[k] != (1u << 16)) return -1;
+  return pos;
+}
+
+}  // extern "C"
