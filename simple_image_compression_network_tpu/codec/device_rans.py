@@ -64,6 +64,12 @@ def decode(words: jax.Array, cdf: jax.Array, ctx: Optional[jax.Array],
     init = words[: 2 * n_lanes].reshape(n_lanes, 2)
     x0 = (init[:, 0] << 16) | init[:, 1]
     lane_iota = jnp.arange(L + 1, dtype=jnp.int32)
+    # <=1 renorm word per lane per step, so a contiguous N-word window at
+    # `pos` always covers this step's reads.  Pad so dynamic_slice never
+    # clamps (XLA clamps OOB starts, which would misalign the window).
+    words_pad = jnp.concatenate(
+        [words, jnp.zeros((n_lanes,), jnp.uint32)])
+    rank_iota = jnp.arange(n_lanes, dtype=jnp.int32)
 
     def step(carry, ctx_t):
         x, pos = carry
@@ -79,7 +85,13 @@ def decode(words: jax.Array, cdf: jax.Array, ctx: Optional[jax.Array],
         x = freq * (x >> prec) + (slot - start).astype(jnp.uint32)
         need = x < _LB
         rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
-        w = words[jnp.clip(pos + rank, 0, words.shape[0] - 1)]
+        # Gather-free renorm: one contiguous vector load of the next N
+        # words, then per-lane selection of word[rank] via a one-hot
+        # reduction (an HBM-array gather here costs ~N scalar loads/step
+        # on TPU and dominated the whole decode).
+        chunk = jax.lax.dynamic_slice(words_pad, (pos,), (n_lanes,))
+        onehot_w = (rank_iota[None, :] == rank[:, None])
+        w = jnp.sum(jnp.where(onehot_w, chunk[None, :], 0), axis=1)
         x = jnp.where(need, (x << 16) | w, x)
         pos = pos + jnp.sum(need.astype(jnp.int32))
         return (x, pos), sym
@@ -145,11 +157,22 @@ def encode(syms: jax.Array, cdf: jax.Array, ctx: Optional[jax.Array],
 # Host-side helpers bridging bytes <-> device words
 # ---------------------------------------------------------------------------
 
-def words_from_bytes(data: bytes, t_steps: int, n_lanes: int) -> np.ndarray:
-    """Stream bytes (past the ilrans header) -> fixed-capacity u32 word array."""
-    w = np.frombuffer(data, "<u2").astype(np.uint32)
-    cap = 2 * n_lanes + t_steps * n_lanes
-    out = np.zeros(cap, np.uint32)
+WORD_BUCKET = 4096  # words; buffer lengths round up to this (compile reuse)
+
+
+def bucket_words(n: int) -> int:
+    return -(-n // WORD_BUCKET) * WORD_BUCKET
+
+
+def words_from_bytes(data: bytes, cap: int) -> np.ndarray:
+    """Stream bytes (past the ilrans header) -> u16 word array of length cap.
+
+    u16 halves the host->device transfer (``decode`` widens on device);
+    cap only needs to cover the stream's true word count — callers bucket
+    the max over a batch (``bucket_words``), far below the 2N + t*N
+    worst case for compressible data."""
+    w = np.frombuffer(data, "<u2")
+    out = np.zeros(cap, np.uint16)
     out[: w.size] = w
     return out
 
@@ -172,7 +195,8 @@ def decode_bytes(data: bytes, cdf: np.ndarray,
     if ctx is not None:
         ctx = ilrans.pad_ctx(np.asarray(ctx, np.int32).ravel()[:n], n_lanes)
         ctx = jnp.asarray(ctx.reshape(t_steps, n_lanes))
-    words = jnp.asarray(words_from_bytes(data[off:], t_steps, n_lanes))
+    words = jnp.asarray(words_from_bytes(
+        data[off:], bucket_words((len(data) - off) // 2)))
     syms, consumed, x_fin = decode(words, jnp.asarray(cdf), ctx,
                                    t_steps=t_steps, prec=prec)
     true_words = (len(data) - off) // 2

@@ -12,8 +12,12 @@ decode: container bytes -> interleaved rANS decode (exact latent) -> integer
 
 Latent layout: (zx*zy, C) channel-fastest, lane = flat_index % (m*C), so
 every rANS lane's context (its channel) is FIXED — the on-device decoder
-needs no CDF gathers.  The reference's 4:1 fixed bottleneck becomes
-~4/(8/H):1 where H is the latent entropy in bits.
+needs no CDF gathers.  Each image is additionally split into S independent
+spatial streams (contiguous pixel-row chunks of the latent): S*N_lanes
+symbols decode in parallel per step, cutting the sequential scan depth S×,
+and each stream is independently decodable — the unit of multi-chip entropy
+sharding (SURVEY §2.5 FIFO row).  The reference's 4:1 fixed bottleneck
+becomes ~4/(8/H):1 where H is the latent entropy in bits.
 """
 
 from __future__ import annotations
@@ -32,7 +36,27 @@ from . import container, device_rans, entropy, ilrans, rans
 
 _MAX_SYM = 128  # latent values are post-ReLU int8: 0..127
 _L = _MAX_SYM + 1  # + escape bucket (never used for in-range data)
-DEFAULT_LANE_MULT = 2  # lanes = mult * channels
+DEFAULT_LANE_MULT = 2   # lanes = mult * channels
+DEFAULT_STREAMS = 8     # independent spatial streams per image
+
+
+def plan_streams(n_pix: int, lane_mult: int = DEFAULT_LANE_MULT,
+                 n_streams: int = DEFAULT_STREAMS) -> Tuple[int, int]:
+    """Pick (S, lane_mult) dividing the zx*zy latent pixels evenly.
+
+    Prefers the requested values; degrades to the largest divisor of the
+    per-stream step count so tiny images still code, and caps S so each
+    stream keeps >= 32 steps (the 4 bytes/lane state flush would otherwise
+    dominate small latents).  The choice is recorded in the bitstream
+    (per-stream headers + stream count), so the decoder never re-derives it.
+    """
+    while n_pix % lane_mult:
+        lane_mult -= 1
+    t_total = n_pix // lane_mult
+    s = max(1, min(n_streams, t_total // 32))
+    while t_total % s:
+        s -= 1
+    return s, lane_mult
 
 
 @functools.lru_cache(maxsize=None)
@@ -101,42 +125,70 @@ def _lane_cdf(cdfs: np.ndarray, n_lanes: int) -> np.ndarray:
     return cdfs[np.arange(n_lanes) % c]
 
 
-@functools.partial(jax.jit, static_argnames=("t_steps", "n_lanes"))
+@functools.partial(jax.jit,
+                   static_argnames=("t_steps", "n_lanes", "n_streams"))
 def _device_encode_batch(z: jax.Array, lane_cdf: jax.Array, *,
-                         t_steps: int, n_lanes: int):
-    """(B, zx, zy, C) int8 latents -> per-image word streams on device."""
+                         t_steps: int, n_lanes: int, n_streams: int):
+    """(B, zx, zy, C) int8 latents -> (B*S) word streams on device.
+
+    Words come back as u16 (the wire width) to halve the device->host
+    fetch."""
     b = z.shape[0]
-    syms = z.astype(jnp.int32).reshape(b, t_steps, n_lanes)
+    syms = z.astype(jnp.int32).reshape(b * n_streams, t_steps, n_lanes)
     enc = jax.vmap(lambda s: device_rans.encode(s, lane_cdf, None))
-    return enc(syms)
+    words, counts = enc(syms)
+    return words.astype(jnp.uint16), counts
 
 
 @functools.partial(jax.jit, static_argnames=("t_steps",))
-def _device_decode_batch(words: jax.Array, lane_cdf: jax.Array, *,
-                         t_steps: int):
+def _device_decode_batch(words: jax.Array, true_counts: jax.Array,
+                         lane_cdf: jax.Array, *, t_steps: int):
+    """(B*S, cap) u16 words -> (syms (B*S, t, N) int8, per-stream ok)."""
     dec = jax.vmap(lambda w: device_rans.decode(w, lane_cdf, None,
                                                 t_steps=t_steps))
-    return dec(words)
+    syms, consumed, x_fin = dec(words)
+    ok = jnp.logical_and(consumed == true_counts,
+                         jnp.all(x_fin == ilrans.STATE_LB, axis=1))
+    return syms.astype(jnp.int8), ok
+
+
+def _pack_streams(streams: Sequence[bytes]) -> bytes:
+    """S per-chunk ilrans streams -> one payload section."""
+    return struct.pack("<H", len(streams)) + b"".join(
+        struct.pack("<I", len(s)) + s for s in streams)
+
+
+def _unpack_streams(payload: bytes) -> List[bytes]:
+    (s,) = struct.unpack_from("<H", payload)
+    out, off = [], 2
+    for _ in range(s):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        out.append(payload[off + 4: off + 4 + ln])
+        off += 4 + ln
+    return out
 
 
 def compress_batch(params: Dict[str, jax.Array], x: jax.Array,
                    cfg: ModelConfig = REFERENCE_NET,
                    static_cdfs: np.ndarray | None = None,
                    coder: str = "auto",
-                   lane_mult: int = DEFAULT_LANE_MULT) -> List[bytes]:
+                   lane_mult: int = DEFAULT_LANE_MULT,
+                   n_streams: int = DEFAULT_STREAMS) -> List[bytes]:
     """x: (B, X, Y, 3) int8/uint8 wire images -> B container bytestrings.
 
     One batched device pass for the transform and (coder="device") one for
-    the entropy stage.  With ``static_cdfs`` (from ``build_static_cdfs``)
-    the tables are not embedded; otherwise per-image histograms are built
-    and serialized (2*C*L bytes of overhead per image).
+    the entropy stage, vmapped over all B*S spatial streams.  With
+    ``static_cdfs`` (from ``build_static_cdfs``) the tables are not
+    embedded; otherwise per-image histograms are built and serialized
+    (2*C*L bytes of overhead per image).
     """
     coder = _pick_coder(coder)
     z_dev = _jit_analysis(cfg)(params, x)
     b, zx, zy, c = z_dev.shape
+    s, lane_mult = plan_streams(zx * zy, lane_mult, n_streams)
     n_lanes = lane_mult * c
-    t_steps = (zx * zy) // lane_mult
-    assert (zx * zy) % lane_mult == 0, "lane_mult must divide zx*zy"
+    t_steps = (zx * zy) // lane_mult // s
+    n_syms = t_steps * n_lanes  # per stream
     header = struct.pack("<HHHHH", x.shape[1], x.shape[2], zx, zy, c)
 
     if static_cdfs is not None:
@@ -148,31 +200,39 @@ def compress_batch(params: Dict[str, jax.Array], x: jax.Array,
         cdf_sections = [_serialize_cdfs(cd) for cd in per_image_cdfs]
 
     out: List[bytes] = []
-    n_syms = zx * zy * c
     if coder == "device" and static_cdfs is not None:
         lane_cdf = jnp.asarray(_lane_cdf(static_cdfs, n_lanes))
         words, counts = _device_encode_batch(
-            z_dev, lane_cdf, t_steps=t_steps, n_lanes=n_lanes)
-        words_np, counts_np = np.asarray(words), np.asarray(counts)
+            z_dev, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
+        counts_np = np.asarray(counts).reshape(b, s)
+        # fetch only up to the longest stream (bucketed): the capacity
+        # buffer is ~16 bits/symbol, the payload typically well under half
+        mxb = min(device_rans.bucket_words(int(counts_np.max())),
+                  words.shape[1])
+        words_np = np.asarray(words[:, :mxb]).reshape(b, s, -1)
         for i in range(b):
-            payload = device_rans.bytes_from_words(
-                words_np[i], int(counts_np[i]), n_syms, n_lanes)
+            chunks = [device_rans.bytes_from_words(
+                words_np[i, j], int(counts_np[i, j]), n_syms, n_lanes)
+                for j in range(s)]
             out.append(container.pack(
-                container.CODEC_INT8, [header, cdf_sections[i], payload]))
+                container.CODEC_INT8,
+                [header, cdf_sections[i], _pack_streams(chunks)]))
         return out
 
     # native / per-image-table path (host coder, still batched transform)
     z_np = np.asarray(z_dev)
     ctx = np.broadcast_to(np.arange(c, dtype=np.int32),
-                          (zx * zy, c)).ravel()
+                          (t_steps * lane_mult, c)).ravel()
+    use_native = coder != "golden"
     for i in range(b):
-        syms = z_np[i].reshape(-1).astype(np.int32)
-        use_native = coder != "golden"
-        payload = rans.encode_interleaved(syms, ctx, per_image_cdfs[i],
+        syms = z_np[i].reshape(s, -1).astype(np.int32)
+        chunks = [rans.encode_interleaved(syms[j], ctx, per_image_cdfs[i],
                                           n_lanes=n_lanes,
                                           use_native=use_native)
-        out.append(container.pack(container.CODEC_INT8,
-                                  [header, cdf_sections[i], payload]))
+                  for j in range(s)]
+        out.append(container.pack(
+            container.CODEC_INT8,
+            [header, cdf_sections[i], _pack_streams(chunks)]))
     return out
 
 
@@ -190,11 +250,13 @@ def decompress_batch(params: Dict[str, jax.Array], streams: Sequence[bytes],
     for data in streams:
         codec_id, (header, cdf_bytes, payload) = container.unpack(data)
         assert codec_id == container.CODEC_INT8
-        metas.append((struct.unpack("<HHHHH", header), cdf_bytes, payload))
+        metas.append((struct.unpack("<HHHHH", header), cdf_bytes,
+                      _unpack_streams(payload)))
     (ix, iy, zx, zy, c) = metas[0][0]
     assert all(m[0] == metas[0][0] for m in metas), "mixed geometries"
-    n_syms, n_lanes, prec, off = ilrans.unpack_header(metas[0][2])
-    assert n_syms == zx * zy * c
+    s = len(metas[0][2])
+    n_syms, n_lanes, prec, off = ilrans.unpack_header(metas[0][2][0])
+    assert n_syms * s == zx * zy * c
     t_steps = n_syms // n_lanes
 
     def cdfs_of(i):
@@ -206,30 +268,35 @@ def decompress_batch(params: Dict[str, jax.Array], streams: Sequence[bytes],
     b = len(streams)
     if coder == "device" and not any(m[1] for m in metas):
         lane_cdf = jnp.asarray(_lane_cdf(cdfs_of(0), n_lanes))
+        true_counts = np.asarray([(len(chunk) - off) // 2
+                                  for m in metas for chunk in m[2]],
+                                 np.int32)
+        cap = device_rans.bucket_words(int(true_counts.max()))
         words = np.stack([
-            device_rans.words_from_bytes(m[2][off:], t_steps, n_lanes)
-            for m in metas])
-        syms, consumed, x_fin = _device_decode_batch(
-            jnp.asarray(words), lane_cdf, t_steps=t_steps)
-        consumed_np = np.asarray(consumed)
-        for i, m in enumerate(metas):
-            if int(consumed_np[i]) != (len(m[2]) - off) // 2:
-                raise ValueError(f"corrupt stream {i}")
-        if not (np.asarray(x_fin) == ilrans.STATE_LB).all():
-            raise ValueError("corrupt stream (final state)")
-        z = np.asarray(syms).reshape(b, zx, zy, c).astype(np.int8)
+            device_rans.words_from_bytes(chunk[off:], cap)
+            for m in metas for chunk in m[2]])
+        syms, ok = _device_decode_batch(
+            jnp.asarray(words), jnp.asarray(true_counts), lane_cdf,
+            t_steps=t_steps)
+        ok_np = np.asarray(ok)
+        if not ok_np.all():
+            bad = int(np.flatnonzero(~ok_np)[0])
+            raise ValueError(
+                f"corrupt stream (image {bad // s}, chunk {bad % s})")
+        zj = syms.reshape(b, zx, zy, c)  # stays on device
     else:
         ctx = np.broadcast_to(np.arange(c, dtype=np.int32),
-                              (zx * zy, c)).ravel()
+                              (zx * zy // s, c)).ravel()
         zs = []
         for i, m in enumerate(metas):
-            syms = rans.decode_interleaved(m[2], ctx, cdfs_of(i),
-                                           use_native=(coder != "golden"))
-            zs.append(syms.reshape(zx, zy, c).astype(np.int8))
-        z = np.stack(zs)
+            cd = cdfs_of(i)
+            sy = [rans.decode_interleaved(chunk, ctx, cd,
+                                          use_native=(coder != "golden"))
+                  for chunk in m[2]]
+            zs.append(np.concatenate(sy).reshape(zx, zy, c).astype(np.int8))
+        zj = jnp.asarray(np.stack(zs))
     cfg = (REFERENCE_NET if (ix, iy) == (768, 512)
            else reference_net_for_input(ix, iy))
-    zj = jnp.asarray(z)
     x_hat = _jit_synthesis(cfg)(params, zj)
     return x_hat, zj
 

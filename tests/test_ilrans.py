@@ -68,7 +68,8 @@ def test_device_fixed_lane_path(rng):
     syms = np.minimum(rng.geometric(0.25, n) - 1, 128).astype(np.int32)
     blob = rans.encode_interleaved(syms, ctx, cdf, n_lanes=C)
     _, _, prec, off = ilrans.unpack_header(blob)
-    words = jnp.asarray(device_rans.words_from_bytes(blob[off:], reps, C))
+    words = jnp.asarray(device_rans.words_from_bytes(
+        blob[off:], device_rans.bucket_words((len(blob) - off) // 2)))
     dsyms, consumed, xf = device_rans.decode(
         words, jnp.asarray(cdf), None, t_steps=reps)
     assert np.array_equal(np.asarray(dsyms).ravel(), syms)
