@@ -1,15 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark: Kodak-size (768x512) encode+decode throughput on one chip.
+"""Benchmark: Kodak-size (768x512) throughput + rate-distortion on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Baseline: the reference FPGA dataflow pipeline's implied throughput is
-~0.25 megapixel/s encode+decode (BASELINE.md — conv_6 at II=1, 200 MHz on
-xczu7ev); vs_baseline is the speedup over that floor.
+Headline value = transform throughput (full 8-layer integer autoencoder,
+analysis + synthesis, 72.3 GMAC/image, int8 x int4).  Baseline: the
+reference FPGA dataflow pipeline's implied throughput is ~0.25 megapixel/s
+(BASELINE.md - conv_6 at II=1, 200 MHz on xczu7ev).
 
-The benchmarked model is the flagship bit-exact integer codec
-(eight_layers_net with the converted reference weights): full analysis +
-synthesis, 72.3 GMAC per image, int8 x int4 arithmetic.
+The detail section reports the complete, honestly-labeled picture
+(VERDICT r1 "make the bench honest and complete"):
+  - transform_mps        : device transform, bytes never leave HBM
+  - e2e_encode_mps       : images (device-resident) -> container BYTES on
+                           host, incl. entropy coding + link transfer
+  - e2e_decode_mps       : container bytes -> reconstruction, incl. link
+                           transfer + device entropy decode + synthesis
+  - enc/dec_kernel_mps   : the device entropy coder alone (B*S streams)
+  - bitstream_bpp        : real coded bits per input pixel (tables shipped
+                           with the model, not the stream)
+  - psnr_db              : reconstruction PSNR (uint8 scale) of the int8
+                           autoencoder on the labeled content
+  - coder                : which entropy implementation actually ran
+  - decode_bit_exact     : bitstream roundtrip equals running the
+                           autoencoder directly (the reference's bar,
+                           conv3_nonsquare_tb.cpp:1068-1123)
+Content: synthetic 1/f-spectrum noise (no dataset in the image; labeled).
 """
 
 import argparse
@@ -19,29 +34,14 @@ import time
 
 import numpy as np
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=0,
-                    help="batch size (0 = autotune over {1,2,4,8})")
-    ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--verbose", action="store_true")
-    args = ap.parse_args()
 
+def measure_transform(params, args):
     import jax
     import jax.numpy as jnp
-    from simple_image_compression_network_tpu.utils.cache import (
-        enable_compile_cache)
-    enable_compile_cache()
     from simple_image_compression_network_tpu.config import REFERENCE_NET
     from simple_image_compression_network_tpu.models import codec_int
-    from simple_image_compression_network_tpu.utils import weights_io
-
-    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "checkpoints", "reference_weights.npz")
-    params = {k: jnp.asarray(v) for k, v in
-              weights_io.load_checkpoint(ckpt).items()}
 
     x_np = np.random.default_rng(0).integers(
         0, 256, size=(1, 768, 512, 3), dtype=np.uint8).view(np.int8)
@@ -59,59 +59,142 @@ def main():
             s = fwd(params, x, s.astype(jnp.int8))
         np.asarray(s)
         # Chain each step's checksum into the next step's input: a data
-        # dependency that makes the steps irreducibly serial, then fetch once.
+        # dependency that makes the steps irreducibly serial, then fetch
+        # once.
         s = jnp.int32(1)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             s = fwd(params, x, s.astype(jnp.int8))
         np.asarray(s)
         dt = (time.perf_counter() - t0) / args.iters
-        mps = batch * 768 * 512 / dt / 1e6
-        return mps, dt
+        return batch * 768 * 512 / dt / 1e6, dt
 
     batches = [args.batch] if args.batch else [1, 8, 16, 32]
-    best_mps, best_b, best_dt = 0.0, 0, 0.0
+    best = (0.0, 0, 0.0)
     for b in batches:
         mps, dt = measure(b)
         if args.verbose:
-            print(f"# batch={b}: {dt*1e3:.2f} ms/step, {mps:.1f} MP/s")
-        if mps > best_mps:
-            best_mps, best_b, best_dt = mps, b, dt
+            print(f"# transform batch={b}: {dt*1e3:.2f} ms, {mps:.1f} MP/s")
+        if mps > best[0]:
+            best = (mps, b, dt)
+    return best
 
-    # secondary metrics: end-to-end bitstream codec on one synthetic image
-    extra = {}
+
+def measure_codec(params, args):
+    """End-to-end bitstream numbers + RD on labeled synthetic content."""
+    import jax
+    import jax.numpy as jnp
+    from simple_image_compression_network_tpu.codec import int_codec
+    from simple_image_compression_network_tpu.models import codec_int
+    from simple_image_compression_network_tpu.utils import data as datalib
+
+    b = args.codec_batch
+    mp = b * 768 * 512 / 1e6
+    imgs_u8 = datalib.synthetic_images(b, 768, 512, seed=3)
+    x = jnp.asarray(imgs_u8.view(np.int8))
+    cdfs_path = os.path.join(ROOT, "checkpoints", "latent_cdfs.npz")
+    static_cdfs = (np.load(cdfs_path)["cdfs"]
+                   if os.path.exists(cdfs_path) else None)
+    coder = int_codec._pick_coder("auto")
+
+    def timed(f, reps=args.codec_iters):
+        f()  # warmup / compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = f()
+        return (time.perf_counter() - t0) / reps, r
+
+    t_enc, streams = timed(lambda: int_codec.compress_batch(
+        params, x, static_cdfs=static_cdfs))
+
+    def dec():
+        x_hat, z_hat = int_codec.decompress_batch(
+            params, streams, static_cdfs=static_cdfs)
+        np.asarray(x_hat[0, 0, 0])  # await completion (tunneled TPU)
+        return x_hat
+
+    t_dec, x_hat = timed(dec)
+
+    # device entropy-coder kernels alone (stream bytes stay on device)
+    detail = {}
+    if coder == "device" and static_cdfs is not None:
+        from simple_image_compression_network_tpu.codec import device_rans
+        z = int_codec._jit_analysis(int_codec.REFERENCE_NET)(params, x)
+        zx, zy, c = z.shape[1:]
+        s, lm = int_codec.plan_streams(zx * zy)
+        n_lanes, t_steps = lm * c, (zx * zy) // lm // s
+        lane_cdf = jnp.asarray(int_codec._lane_cdf(static_cdfs, n_lanes))
+
+        def enc_kernel():
+            w, cnt = int_codec._device_encode_batch(
+                z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
+            np.asarray(cnt[0])
+            return w, cnt
+
+        t_ek, (w, cnt) = timed(enc_kernel)
+        tc = jnp.asarray(np.asarray(cnt))
+
+        def dec_kernel():
+            syms, ok = int_codec._device_decode_batch(
+                w.astype(jnp.uint16), tc, lane_cdf, t_steps=t_steps)
+            np.asarray(ok[0])
+
+        t_dk, _ = timed(dec_kernel)
+        detail.update(enc_kernel_mps=round(mp / t_ek, 1),
+                      dec_kernel_mps=round(mp / t_dk, 1))
+
+    # correctness + RD
+    direct = jax.jit(codec_int.eight_layers_net)(params, x)
+    bit_exact = bool((np.asarray(x_hat) == np.asarray(direct)).all())
+    rec_u8 = np.asarray(x_hat).view(np.uint8).astype(np.float64)
+    mse = float(np.mean((rec_u8 - imgs_u8.astype(np.float64)) ** 2))
+    psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    n_bytes = sum(len(s) for s in streams)
+    detail.update(
+        e2e_encode_mps=round(mp / t_enc, 1),
+        e2e_decode_mps=round(mp / t_dec, 1),
+        codec_batch=b,
+        bitstream_bpp=round(8.0 * n_bytes / (b * 768 * 512), 3),
+        bitstream_ratio=round(b * 768 * 512 * 3 / n_bytes, 2),
+        psnr_db=round(psnr, 2),
+        content="synthetic-1/f",
+        coder=coder,
+        decode_bit_exact=bit_exact,
+    )
+    return detail
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=0,
+                    help="transform batch (0 = autotune over {1,8,16,32})")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--codec-batch", type=int, default=32)
+    ap.add_argument("--codec-iters", type=int, default=3)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from simple_image_compression_network_tpu.utils.cache import (
+        enable_compile_cache)
+    enable_compile_cache()
+    from simple_image_compression_network_tpu.utils import weights_io
+
+    params = {k: jnp.asarray(v) for k, v in weights_io.load_checkpoint(
+        os.path.join(ROOT, "checkpoints", "reference_weights.npz")).items()}
+
+    best_mps, best_b, best_dt = measure_transform(params, args)
+
     try:
-        from simple_image_compression_network_tpu.codec import int_codec
-        from simple_image_compression_network_tpu.utils import data as datalib
-        img = datalib.synthetic_images(1, 768, 512, seed=3)[0]
-        xi = jnp.asarray(img[None].view(np.int8))
-        cdfs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "checkpoints", "latent_cdfs.npz")
-        static_cdfs = (np.load(cdfs_path)["cdfs"]
-                       if os.path.exists(cdfs_path) else None)
-        t0 = time.perf_counter()
-        stream = int_codec.compress(params, xi, static_cdfs=static_cdfs)
-        t_enc = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        x_hat, z_hat = int_codec.decompress(params, stream,
-                                            static_cdfs=static_cdfs)
-        t_dec = time.perf_counter() - t0
-        from simple_image_compression_network_tpu.models import codec_int
-        direct = jax.jit(codec_int.eight_layers_net)(params, xi)
-        bit_exact = bool((np.asarray(x_hat) == np.asarray(direct)).all())
-        extra = {
-            "bitstream_bpp": round(8.0 * len(stream) / (768 * 512), 3),
-            "bitstream_ratio": round(768 * 512 * 3 / len(stream), 2),
-            "decode_bit_exact": bit_exact,
-            "host_encode_s": round(t_enc, 3),
-            "host_decode_s": round(t_dec, 3),
-        }
+        extra = measure_codec(params, args)
     except Exception as e:  # secondary metrics must never break the bench
-        extra = {"bitstream_error": repr(e)[:120]}
+        extra = {"bitstream_error": repr(e)[:200]}
 
     baseline_mps = 0.25  # FPGA floor, BASELINE.md
     print(json.dumps({
-        "metric": "kodak_768x512_encode_decode_throughput_per_chip",
+        "metric": "kodak_768x512_transform_throughput_per_chip",
         "value": round(best_mps, 2),
         "unit": "megapixels/s",
         "vs_baseline": round(best_mps / baseline_mps, 1),

@@ -71,6 +71,11 @@ def decode(words: jax.Array, cdf: jax.Array, ctx: Optional[jax.Array],
         [words, jnp.zeros((n_lanes,), jnp.uint32)])
     rank_iota = jnp.arange(n_lanes, dtype=jnp.int32)
 
+    # + 0*words[0]: ties the scan-carry init's type to the input stream so
+    # shard_map sees it device-varying from step 0 (a plain constant init
+    # would flip replicated->varying inside the scan, which is rejected).
+    pos0 = jnp.int32(2 * n_lanes) + (words[0] * 0).astype(jnp.int32)
+
     def step(carry, ctx_t):
         x, pos = carry
         row = _rows(cdf, ctx_t)                          # (N, L+1)
@@ -98,7 +103,7 @@ def decode(words: jax.Array, cdf: jax.Array, ctx: Optional[jax.Array],
 
     ctx_scan = None if ctx is None else ctx.reshape(t_steps, n_lanes)
     (x_fin, pos_fin), syms = jax.lax.scan(
-        step, (x0, jnp.int32(2 * n_lanes)), ctx_scan, length=t_steps)
+        step, (x0, pos0), ctx_scan, length=t_steps)
     return syms, pos_fin, x_fin
 
 
@@ -114,7 +119,10 @@ def encode(syms: jax.Array, cdf: jax.Array, ctx: Optional[jax.Array],
     L = cdf.shape[-1] - 1
     cdf = cdf.astype(jnp.int32)
     lane_iota = jnp.arange(L + 1, dtype=jnp.int32)
-    x0 = jnp.full((n_lanes,), ilrans.STATE_LB, jnp.uint32)
+    # + 0*syms[...]: see decode — keeps the carry device-varying under
+    # shard_map.
+    x0 = (jnp.full((n_lanes,), ilrans.STATE_LB, jnp.uint32)
+          + (syms[0] * 0).astype(jnp.uint32))
 
     def step(x, inp):
         s, ctx_t = inp

@@ -1,19 +1,23 @@
-"""End-to-end bitstream codec for the scale-hyperprior float model.
+"""End-to-end bitstream codec for the (mean-)scale-hyperprior float models.
 
 encode: x -> g_a -> y; h_a -> z; round(z) coded with the learned factorized
-        CDFs; h_s(z_hat) -> sigma; round(y) coded with scale-binned Gaussian
-        CDF tables (context = scale bin).
-decode: z from bitstream -> sigma -> y from bitstream -> g_s(y_hat).
+        CDFs; h_s(z_hat) -> (mu,) sigma; round(y - mu) coded with
+        scale-binned Gaussian CDF tables (context = scale bin).
+decode: z from bitstream -> (mu,) sigma -> y from bitstream -> g_s(y_hat).
 
 The decoded y_hat/z_hat are exactly the encoder's rounded integers (rANS is
 lossless), so encoder/decoder reconstructions match bit-for-bit given
 deterministic synthesis.
+
+Both codecs share one coding core (``_code``/``_decode``): the only model
+differences are whether the prior predicts a mean and how the latent
+symbols are centered.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Any, Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,10 +51,26 @@ def build_gaussian_cdfs(scale_table: np.ndarray,
                      for s in scale_table])
 
 
-class HyperCodec:
-    """Encoder/decoder pair sharing precomputed tables."""
+def _code(vals: np.ndarray, ctx: np.ndarray, cdfs: np.ndarray,
+          max_abs: int) -> bytes:
+    """Center/clip integers to symbols with escape + raw side-channel."""
+    syms = np.clip(vals, -max_abs, max_abs) + max_abs
+    esc = cdfs.shape[1] - 2
+    syms = np.where(np.abs(vals) > max_abs, esc, syms)
+    return rans.encode(syms.ravel(), ctx.ravel(), cdfs, raw=vals.ravel())
 
-    def __init__(self, model: ScaleHyperprior, params):
+
+def _decode(data: bytes, n: int, ctx: np.ndarray, cdfs: np.ndarray,
+            max_abs: int) -> np.ndarray:
+    syms, raw = rans.decode(data, n, ctx, cdfs)
+    esc = cdfs.shape[1] - 2
+    return np.where(syms == esc, raw, syms - max_abs)
+
+
+class HyperCodec:
+    """Encoder/decoder pair sharing precomputed tables (scale prior)."""
+
+    def __init__(self, model, params):
         self.model = model
         self.params = params
         self.scale_table = entropy.default_scale_table()
@@ -60,33 +80,31 @@ class HyperCodec:
             lambda x: model.apply(params, x, method=model.encode_arrays))
         self._decode_arrays = jax.jit(
             lambda y: model.apply(params, y, method=model.decode_arrays))
-        self._scales_from_z = jax.jit(
-            lambda z: model.apply(params, z, method=model.scales_from_z))
+        if hasattr(model, "scales_from_z"):  # MeanScale uses params_from_z
+            self._scales_from_z = jax.jit(
+                lambda z: model.apply(params, z, method=model.scales_from_z))
 
-    def compress(self, x: jax.Array) -> bytes:
+    # --- model-specific hooks -------------------------------------------
+    def _encode_parts(self, x) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (centered integer latent symbols, integer z, sigma)."""
         y, z, sigma = self._encode_arrays(x)
-        y = np.asarray(y, np.int32)
-        z = np.asarray(z, np.int32)
-        sigma = np.asarray(sigma)
+        return (np.asarray(y, np.int32), np.asarray(z, np.int32),
+                np.asarray(sigma))
+
+    def _prior_from_z(self, z_hat) -> Tuple[Optional[jax.Array], np.ndarray]:
+        """-> (mu or None, sigma) predicted from the decoded hyper-latent."""
+        return None, np.asarray(self._scales_from_z(z_hat))
+
+    # --- shared coding core ---------------------------------------------
+    def compress(self, x: jax.Array) -> bytes:
+        y, z, sigma = self._encode_parts(x)
         n, zx, zy, zc = z.shape
         assert n == 1
-        # hyper-latent: channel context
-        z_syms = np.clip(z, -_Z_MAX, _Z_MAX) + _Z_MAX
-        esc_z = self.z_cdfs.shape[1] - 2
-        over = (np.abs(z) > _Z_MAX)
-        z_syms = np.where(over, esc_z, z_syms)
         z_ctx = np.broadcast_to(np.arange(zc, dtype=np.int32),
                                 z.reshape(-1, zc).shape)
-        z_bytes = rans.encode(z_syms.reshape(-1, zc).ravel(), z_ctx.ravel(),
-                              self.z_cdfs, raw=z.reshape(-1, zc).ravel())
-        # latent: scale-bin context
+        z_bytes = _code(z.reshape(-1, zc), z_ctx, self.z_cdfs, _Z_MAX)
         idx = entropy.scale_to_index(sigma.ravel(), self.scale_table)
-        y_syms = np.clip(y, -_Y_MAX, _Y_MAX) + _Y_MAX
-        esc_y = self.y_cdfs.shape[1] - 2
-        over_y = (np.abs(y) > _Y_MAX)
-        y_syms = np.where(over_y, esc_y, y_syms)
-        y_bytes = rans.encode(y_syms.ravel(), idx, self.y_cdfs,
-                              raw=y.ravel())
+        y_bytes = _code(y.ravel(), idx, self.y_cdfs, _Y_MAX)
         header = struct.pack("<HHHHHH", x.shape[1], x.shape[2], zx, zy, zc,
                              y.shape[3])
         return container.pack(container.CODEC_HYPERPRIOR,
@@ -96,20 +114,16 @@ class HyperCodec:
         codec_id, (header, z_bytes, y_bytes) = container.unpack(data)
         assert codec_id == container.CODEC_HYPERPRIOR
         ix, iy, zx, zy, zc, yc = struct.unpack("<HHHHHH", header)
-        nz = zx * zy * zc
         z_ctx = np.broadcast_to(np.arange(zc, dtype=np.int32),
                                 (zx * zy, zc)).ravel()
-        z_syms, z_raw = rans.decode(z_bytes, nz, z_ctx, self.z_cdfs)
-        esc_z = self.z_cdfs.shape[1] - 2
-        z = np.where(z_syms == esc_z, z_raw, z_syms - _Z_MAX)
+        z = _decode(z_bytes, zx * zy * zc, z_ctx, self.z_cdfs, _Z_MAX)
         z_hat = jnp.asarray(z.reshape(1, zx, zy, zc), jnp.float32)
-        sigma = np.asarray(self._scales_from_z(z_hat))
+        mu, sigma = self._prior_from_z(z_hat)
         idx = entropy.scale_to_index(sigma.ravel(), self.scale_table)
-        ny = sigma.size
-        y_syms, y_raw = rans.decode(y_bytes, ny, idx, self.y_cdfs)
-        esc_y = self.y_cdfs.shape[1] - 2
-        y = np.where(y_syms == esc_y, y_raw, y_syms - _Y_MAX)
+        y = _decode(y_bytes, sigma.size, idx, self.y_cdfs, _Y_MAX)
         y_hat = jnp.asarray(y.reshape(sigma.shape), jnp.float32)
+        if mu is not None:
+            y_hat = y_hat + mu
         x_hat = self._decode_arrays(y_hat)
         return x_hat, y_hat
 
@@ -123,60 +137,15 @@ class MeanScaleCodec(HyperCodec):
     reconstruction adds mu back before synthesis."""
 
     def __init__(self, model, params):
-        self.model = model
-        self.params = params
-        self.scale_table = entropy.default_scale_table()
-        self.z_cdfs = build_factorized_cdfs(model, params)
-        self.y_cdfs = build_gaussian_cdfs(self.scale_table)
-        self._encode_arrays = jax.jit(
-            lambda x: model.apply(params, x, method=model.encode_arrays))
-        self._decode_arrays = jax.jit(
-            lambda y: model.apply(params, y, method=model.decode_arrays))
+        super().__init__(model, params)
         self._params_from_z = jax.jit(
             lambda z: model.apply(params, z, method=model.params_from_z))
 
-    def compress(self, x: jax.Array) -> bytes:
+    def _encode_parts(self, x):
         syms_f, z, mu, sigma = self._encode_arrays(x)
-        y = np.asarray(syms_f, np.int32)   # already centered
-        z = np.asarray(z, np.int32)
-        sigma = np.asarray(sigma)
-        n, zx, zy, zc = z.shape
-        assert n == 1
-        z_syms = np.clip(z, -_Z_MAX, _Z_MAX) + _Z_MAX
-        esc_z = self.z_cdfs.shape[1] - 2
-        z_syms = np.where(np.abs(z) > _Z_MAX, esc_z, z_syms)
-        z_ctx = np.broadcast_to(np.arange(zc, dtype=np.int32),
-                                z.reshape(-1, zc).shape)
-        z_bytes = rans.encode(z_syms.reshape(-1, zc).ravel(), z_ctx.ravel(),
-                              self.z_cdfs, raw=z.reshape(-1, zc).ravel())
-        idx = entropy.scale_to_index(sigma.ravel(), self.scale_table)
-        y_syms = np.clip(y, -_Y_MAX, _Y_MAX) + _Y_MAX
-        esc_y = self.y_cdfs.shape[1] - 2
-        y_syms = np.where(np.abs(y) > _Y_MAX, esc_y, y_syms)
-        y_bytes = rans.encode(y_syms.ravel(), idx, self.y_cdfs, raw=y.ravel())
-        header = struct.pack("<HHHHHH", x.shape[1], x.shape[2], zx, zy, zc,
-                             y.shape[3])
-        return container.pack(container.CODEC_HYPERPRIOR,
-                              [header, z_bytes, y_bytes])
+        return (np.asarray(syms_f, np.int32), np.asarray(z, np.int32),
+                np.asarray(sigma))
 
-    def decompress(self, data: bytes) -> Tuple[jax.Array, jax.Array]:
-        codec_id, (header, z_bytes, y_bytes) = container.unpack(data)
-        assert codec_id == container.CODEC_HYPERPRIOR
-        ix, iy, zx, zy, zc, yc = struct.unpack("<HHHHHH", header)
-        nz = zx * zy * zc
-        z_ctx = np.broadcast_to(np.arange(zc, dtype=np.int32),
-                                (zx * zy, zc)).ravel()
-        z_syms, z_raw = rans.decode(z_bytes, nz, z_ctx, self.z_cdfs)
-        esc_z = self.z_cdfs.shape[1] - 2
-        z = np.where(z_syms == esc_z, z_raw, z_syms - _Z_MAX)
-        z_hat = jnp.asarray(z.reshape(1, zx, zy, zc), jnp.float32)
+    def _prior_from_z(self, z_hat):
         mu, sigma = self._params_from_z(z_hat)
-        sigma = np.asarray(sigma)
-        idx = entropy.scale_to_index(sigma.ravel(), self.scale_table)
-        ny = sigma.size
-        y_syms, y_raw = rans.decode(y_bytes, ny, idx, self.y_cdfs)
-        esc_y = self.y_cdfs.shape[1] - 2
-        y = np.where(y_syms == esc_y, y_raw, y_syms - _Y_MAX)
-        y_hat = jnp.asarray(y.reshape(sigma.shape), jnp.float32) + mu
-        x_hat = self._decode_arrays(y_hat)
-        return x_hat, y_hat
+        return mu, np.asarray(sigma)

@@ -63,6 +63,25 @@ def conv2d_int8(x: jax.Array, w: jax.Array, bias: jax.Array, *,
                                               padding=padding), bias)
 
 
+def conv2d_int8_dilated(x: jax.Array, w: jax.Array, bias: jax.Array, *,
+                        stride: int = 1, padding: int = 0,
+                        dilation: tuple = (2, 1)) -> jax.Array:
+    """Dilated conv with the exact integer contract (rhs_dilation on MXU).
+
+    TPU counterpart of ``ConvolutionInputGenerator_NonSquare_Dilated``
+    (/root/reference/slidingwindow.h:1529-1631): kernel taps stride by
+    ``dilation`` over the input.  Golden: ``integer.conv2d_golden_dilated``.
+    """
+    acc = lax.conv_general_dilated(
+        x.astype(jnp.int8), _w_hwio(w),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        rhs_dilation=dilation,
+        dimension_numbers=DIMNUMS,
+        preferred_element_type=jnp.int32)
+    return bias_relu_epilogue(acc, bias)
+
+
 def deconv2d_int8_acc(x: jax.Array, w: jax.Array, *, stride: int = 2,
                       padding: int = 2) -> jax.Array:
     """deconv522 accumulator via lhs-dilated conv.

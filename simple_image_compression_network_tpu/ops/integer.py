@@ -71,6 +71,37 @@ def conv2d_golden(x: np.ndarray, w: np.ndarray, bias: np.ndarray,
     return bias_relu_epilogue(acc, bias)
 
 
+def conv2d_golden_dilated(x: np.ndarray, w: np.ndarray, bias: np.ndarray,
+                          stride: int = 1, padding: int = 0,
+                          dilation: tuple = (2, 1)) -> np.ndarray:
+    """Scalar golden dilated conv (kernel-tap dilation).
+
+    Parity op for ``ConvolutionInputGenerator_NonSquare_Dilated``
+    (/root/reference/slidingwindow.h:1529-1631), whose window generator
+    strides kernel taps by Dilation_x along x (Dilation_y is asserted 1
+    there, :1535; this golden supports both axes).  Same uint8-in /
+    wrap+bias+MSB-ReLU-out integer contract as ``conv2d_golden``.
+    """
+    xu = x.astype(np.uint8)
+    n, ix, iy, ci = xu.shape
+    o, k, _, ci2 = w.shape
+    assert ci == ci2
+    dx, dy = dilation
+    xp = np.zeros((n, ix + 2 * padding, iy + 2 * padding, ci), np.int64)
+    xp[:, padding:padding + ix, padding:padding + iy, :] = xu
+    ekx, eky = dx * (k - 1) + 1, dy * (k - 1) + 1  # effective extents
+    ox = (ix + 2 * padding - ekx) // stride + 1
+    oy = (iy + 2 * padding - eky) // stride + 1
+    wl = w.astype(np.int64)
+    acc = np.zeros((n, ox, oy, o), np.int64)
+    for kx in range(k):
+        for ky in range(k):
+            patch = xp[:, kx * dx:kx * dx + stride * ox:stride,
+                       ky * dy:ky * dy + stride * oy:stride, :]
+            acc += np.einsum("nxyc,oc->nxyo", patch, wl[:, kx, ky, :])
+    return bias_relu_epilogue(acc, bias)
+
+
 def zero_insert_upsample(x: np.ndarray, stride: int = 2, padding: int = 2
                          ) -> np.ndarray:
     """deconv522's input expansion: zero-insert + append + outer pad.

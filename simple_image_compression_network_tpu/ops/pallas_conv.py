@@ -81,44 +81,73 @@ def _conv3x3_kernel(x_hbm, w_ref, b_ref, out_ref, xtile, sems, *, tx, yd, cp,
     out_ref[0] = v.reshape(tx, yd, cout).astype(jnp.int8)
 
 
+def _conv3x3_xla(x: jax.Array, w3: jax.Array, bias: jax.Array, *,
+                 relu: bool = True, x_valid: bool = False,
+                 y_valid: bool = False) -> jax.Array:
+    """Bit-identical XLA lowering of the fused 3x3 kernel (fallback path)."""
+    from .conv_int import DIMNUMS
+    from jax import lax
+    acc = lax.conv_general_dilated(
+        x, w3, (1, 1), [(0, 0) if x_valid else (1, 1),
+                        (0, 0) if y_valid else (1, 1)],
+        dimension_numbers=DIMNUMS, preferred_element_type=jnp.int32)
+    out = ((acc + bias.astype(jnp.int32) + 128) & 0xFF) - 128
+    if relu:
+        out = jnp.maximum(out, 0)
+    return out.astype(jnp.int8)
+
+
+def conv3x3_s1_int8_any(x: jax.Array, w3: jax.Array, bias: jax.Array, *,
+                        relu: bool = True, x_valid: bool = False,
+                        y_valid: bool = False, tx: int = 8) -> jax.Array:
+    """Backend-dispatching fused 3x3: Pallas on TPU, XLA elsewhere."""
+    if jax.default_backend() != "tpu":
+        return _conv3x3_xla(x, w3, bias, relu=relu, x_valid=x_valid,
+                            y_valid=y_valid)
+    return conv3x3_s1_int8(x, w3, bias, relu=relu, x_valid=x_valid,
+                           y_valid=y_valid, tx=tx)
+
+
 def conv3x3_s1_int8(x: jax.Array, w3: jax.Array, bias: jax.Array, *,
-                    tx: int = 8, relu: bool = True,
+                    tx: int = 8, relu: bool = True, x_valid: bool = False,
+                    y_valid: bool = False,
                     interpret: bool = False) -> jax.Array:
-    """Fused 3x3/s1/p1 conv + wrap/bias/ReLU epilogue.
+    """Fused 3x3/s1 conv + wrap/bias/ReLU epilogue.
 
     x: (B, X, Y, C) int8; w3: (3, 3, C, N) int8 (HWIO); bias: (N,) int8.
-    Returns (B, X, Y, N) int8.
+    Default is SAME padding (p1) -> (B, X, Y, N) int8.  With
+    ``x_valid``/``y_valid`` the input already carries a 1-pixel halo on
+    that axis (e.g. from an ICI ``ppermute`` exchange in the spatially
+    sharded net) and the conv is VALID there: output extent shrinks by 2.
     """
     b, xd, yd, cin = x.shape
     cout = w3.shape[-1]
     assert w3.shape == (3, 3, cin, cout)
-    if xd % 8 == 0:
+    xo = xd - 2 if x_valid else xd     # output X extent
+    yo = yd - 2 if y_valid else yd     # output Y extent
+    if xo % 8 == 0:
         tx = max(8, tx)
-        while xd % tx:
+        while xo % tx:
             tx -= 8
-    if xd % 8 or tx % 8 or xd % tx:
+    if xo % 8 or tx % 8 or xo % tx:
         # small/odd X: fall back to the XLA path (kernel wants 8-row tiles)
-        from .conv_int import bias_relu_epilogue, DIMNUMS
-        from jax import lax
-        acc = lax.conv_general_dilated(
-            x, w3, (1, 1), [(1, 1), (1, 1)], dimension_numbers=DIMNUMS,
-            preferred_element_type=jnp.int32)
-        out = ((acc + bias.astype(jnp.int32) + 128) & 0xFF) - 128
-        if relu:
-            out = jnp.maximum(out, 0)
-        return out.astype(jnp.int8)
+        return _conv3x3_xla(x, w3, bias, relu=relu, x_valid=x_valid,
+                            y_valid=y_valid)
     cp = _round_up(cin, 128)
-    # pad: X 1 left + 7 right (halo + DMA alignment), Y halo 1 each side
-    # (lane-flattened), C->cp
-    xp = jnp.pad(x, ((0, 0), (1, 7), (1, 1), (0, cp - cin)))
-    xp = xp.reshape(b, xd + 8, (yd + 2) * cp)
+    # pad: X 1 left + 7 right (halo + DMA alignment; the left pad is the
+    # halo unless the input already carries it), Y halo 1 each side
+    # (lane-flattened) unless carried, C->cp
+    x_lo = 0 if x_valid else 1
+    xp = jnp.pad(x, ((0, 0), (x_lo, xo + 8 - xd - x_lo),
+                     (0, 0) if y_valid else (1, 1), (0, cp - cin)))
+    xp = xp.reshape(b, xo + 8, (yo + 2) * cp)
     w9 = jnp.pad(w3.astype(jnp.int8),
                  ((0, 0), (0, 0), (0, cp - cin), (0, 0))).reshape(9, cp, cout)
     bias_i32 = bias.astype(jnp.int32).reshape(1, cout)
-    n_x = xd // tx
-    kernel = functools.partial(_conv3x3_kernel, tx=tx, yd=yd, cp=cp,
+    n_x = xo // tx
+    kernel = functools.partial(_conv3x3_kernel, tx=tx, yd=yo, cp=cp,
                                cout=cout, relu=relu, n_x=n_x)
-    flops = 2 * b * xd * yd * cout * 9 * cp
+    flops = 2 * b * xo * yo * cout * 9 * cp
     return pl.pallas_call(
         kernel,
         grid=(b * n_x,),
@@ -130,12 +159,12 @@ def conv3x3_s1_int8(x: jax.Array, w3: jax.Array, bias: jax.Array, *,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tx, yd, cout),
+            (1, tx, yo, cout),
             lambda t, n_x=n_x: (t // n_x, t % n_x, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, xd, yd, cout), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((b, xo, yo, cout), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((2, tx + 8, (yd + 2) * cp), jnp.int8),
+            pltpu.VMEM((2, tx + 8, (yo + 2) * cp), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(flops=flops,

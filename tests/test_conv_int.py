@@ -64,3 +64,25 @@ def test_wrap_to_int8_jnp():
     w = conv_int.wrap_to_int8(acc)
     np.testing.assert_array_equal(
         np.asarray(w), integer.wrap_to_int8(np.arange(-1000, 1000)))
+
+
+def test_conv2d_int8_dilated_matches_golden(rng):
+    """Dilated-conv parity op (slidingwindow.h:1529-1631, x-only dilation)."""
+    x, w, b = _rand_case(rng, ci=5, co=7, ix=14, iy=12)
+    for dilation, stride, pad in (((2, 1), 1, 0), ((2, 1), 1, 2),
+                                  ((3, 2), 1, 3), ((2, 2), 2, 2)):
+        golden = integer.conv2d_golden_dilated(x, w, b, stride=stride,
+                                               padding=pad,
+                                               dilation=dilation)
+        out = conv_int.conv2d_int8_dilated(
+            conv_int.to_wire_int8(jnp.asarray(x)), jnp.asarray(w),
+            jnp.asarray(b), stride=stride, padding=pad, dilation=dilation)
+        np.testing.assert_array_equal(np.asarray(out), golden)
+
+
+def test_conv2d_dilation_one_equals_plain(rng):
+    x, w, b = _rand_case(rng)
+    plain = integer.conv2d_golden(x, w, b, stride=2, padding=2)
+    dil = integer.conv2d_golden_dilated(x, w, b, stride=2, padding=2,
+                                        dilation=(1, 1))
+    np.testing.assert_array_equal(plain, dil)

@@ -44,3 +44,24 @@ def test_deconv2d_pallas_matches_golden(rng):
                                            jnp.asarray(w), jnp.asarray(b),
                                            tx=4, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), golden)
+
+
+def test_conv3x3_kernel_valid_modes(rng):
+    """x_valid/y_valid: input carries the 1-px halo (sharded-net form)."""
+    from jax import lax
+    from simple_image_compression_network_tpu.ops.conv_int import (
+        DIMNUMS, bias_relu_epilogue)
+    x = jnp.asarray(rng.integers(-128, 128, size=(2, 18, 9, 12),
+                                 dtype=np.int8))
+    w3 = jnp.asarray(rng.integers(-8, 8, size=(3, 3, 12, 16), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-128, 128, size=(16,), dtype=np.int8))
+    for xv, yv in ((True, False), (False, True), (True, True)):
+        out = pallas_conv.conv3x3_s1_int8(x, w3, b, tx=4, x_valid=xv,
+                                          y_valid=yv, interpret=True)
+        acc = lax.conv_general_dilated(
+            x, w3, (1, 1), [(0, 0) if xv else (1, 1),
+                            (0, 0) if yv else (1, 1)],
+            dimension_numbers=DIMNUMS, preferred_element_type=jnp.int32)
+        ref = bias_relu_epilogue(acc, b)
+        assert out.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -71,3 +71,17 @@ def test_sharded_net_larger_tile(params, rng):
     out = spatial.eight_layers_net_sharded(params, spatial.shard_image(x, m),
                                            m, cfg)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sharded_net_2d_mesh_bit_exact(params, rng):
+    """(X, Y) 2-D tiling: halo exchange on both image axes."""
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 virtual devices")
+    cfg = reference_net_for_input(64, 64)
+    x = jnp.asarray(rng.integers(0, 256, size=(1, 64, 64, 3),
+                                 dtype=np.uint8).view(np.int8))
+    ref = codec_int.eight_layers_net(params, x, cfg)
+    m = meshlib.make_mesh((2, 4), ("x", "y"))
+    xs = spatial.shard_image(x, m, ("x", "y"))
+    out = spatial.eight_layers_net_sharded(params, xs, m, cfg, ("x", "y"))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
