@@ -87,13 +87,29 @@ def main(argv=None):
     else:
         images = datalib.synthetic_images(16, 512, 512, seed=args.seed)
 
-    rng = np.random.default_rng(args.seed + start_step)
+    # Multi-host input pipeline (DCN side, SURVEY §5): each host generates
+    # only ITS slice of the global batch and contributes it via
+    # make_array_from_process_local_data — no host ever materializes or
+    # ships the full batch.  Single-host keeps the simple device_put.
+    # (Sharding layout note: across hosts shard the data axis; keep any
+    # spatial 'x' sharding within a host's local devices.)
+    multihost = jax.process_count() > 1
+    local_batch = args.batch
+    if multihost:
+        assert args.batch % jax.process_count() == 0, (
+            "global batch must divide across hosts")
+        local_batch = args.batch // jax.process_count()
+    rng = np.random.default_rng(
+        args.seed + start_step + jax.process_index() * 1_000_003)
     t0 = time.perf_counter()
     for step in range(start_step, args.steps):
-        batch = jnp.asarray(datalib.random_crops(images, args.crop,
-                                                 args.batch, rng))
-        if batch_sh is not None:
-            batch = jax.device_put(batch, batch_sh)
+        crops = datalib.random_crops(images, args.crop, local_batch, rng)
+        if multihost and batch_sh is not None:
+            batch = jax.make_array_from_process_local_data(batch_sh, crops)
+        else:
+            batch = jnp.asarray(crops)
+            if batch_sh is not None:
+                batch = jax.device_put(batch, batch_sh)
         params, opt_state, metrics = step_fn(params, opt_state, batch,
                                              jax.random.fold_in(key, step))
         if (step + 1) % args.log_every == 0:
