@@ -143,6 +143,34 @@ def measure_codec(params, args):
         detail.update(enc_kernel_mps=round(mp / t_ek, 1),
                       dec_kernel_mps=round(mp / t_dk, 1))
 
+    # pipelined serving throughput: depth-2 async pipelines overlap the
+    # device stages with link transfer + host packing (codec/pipeline.py)
+    if coder == "device" and static_cdfs is not None:
+        from simple_image_compression_network_tpu.codec import pipeline
+        n_pipe = max(4, args.codec_iters)
+
+        enc = pipeline.PipelinedEncoder(params, static_cdfs, depth=2)
+        enc.submit(x)
+        enc.drain()  # warm
+        t0 = time.perf_counter()
+        for _ in range(n_pipe):
+            enc.submit(x)
+        piped = enc.drain()
+        t_enc_p = (time.perf_counter() - t0) / n_pipe
+
+        dec_in = piped[-1]
+        dec = pipeline.PipelinedDecoder(params, static_cdfs, depth=2)
+        dec.submit(dec_in)
+        dec.drain()  # warm
+        t0 = time.perf_counter()
+        for _ in range(n_pipe):
+            dec.submit(dec_in)
+        outs = dec.drain()
+        np.asarray(outs[-1][0, 0, 0])
+        t_dec_p = (time.perf_counter() - t0) / n_pipe
+        detail.update(e2e_encode_pipelined_mps=round(mp / t_enc_p, 1),
+                      e2e_decode_pipelined_mps=round(mp / t_dec_p, 1))
+
     # correctness + RD
     direct = jax.jit(codec_int.eight_layers_net)(params, x)
     bit_exact = bool((np.asarray(x_hat) == np.asarray(direct)).all())

@@ -1,0 +1,172 @@
+"""Pallas TPU kernel: interleaved-rANS decode — the VPU entropy engine.
+
+The north-star component (BASELINE.json): the serial arithmetic-coding
+loop (the FPGA analog is the II=1 MVAU pipeline, ``mvau.hpp:122-178``)
+rebuilt for VPU throughput.  One kernel invocation decodes a whole batch
+of independent ilrans streams (``codec/ilrans.py`` format): grid over
+stream groups, the full t-step loop runs IN-KERNEL over vector registers
+— no per-step XLA dispatch, no HBM roundtrips for coder state.
+
+Per step, for G streams x N lanes at once:
+  * symbol search + CDF start/end: one fused pass over the transposed CDF
+    columns (running count / max / min — no gathers),
+  * state update: u32 wrap arithmetic on the VPU,
+  * renorm: per-stream contiguous window from the (transposed) word
+    buffer + one-hot selection by renorm rank (rank via prefix-sum).
+
+Bit-identical to ``device_rans.decode`` / the NumPy golden / the C++
+coder (tested in interpret mode and on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ilrans
+
+
+def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
+                   cons_ref, pos_smem, *, g_streams, n_lanes, t_steps,
+                   prec, n_sym):
+    """One grid step: decode t_steps symbols for g_streams streams.
+
+    x0_ref:    (G, N) u32   initial coder states (flush words pre-split)
+    words_ref: (cap, G) u32 word stream, TRANSPOSED so the per-stream
+               renorm window is a sublane-dim dynamic slice
+    cdft_ref:  (L+1, N) i32 transposed per-lane CDF rows
+    syms_ref:  (t_steps, G, N) i8 out
+    xfin_ref:  (G, N) u32 out — final states (validity: == 2^16)
+    cons_ref:  (G, 1) i32 out — words consumed (validity: == true count)
+    pos_smem:  (G,) i32 scratch word cursors
+    """
+    for g in range(g_streams):
+        pos_smem[g] = 2 * n_lanes
+    mask = jnp.uint32((1 << prec) - 1)
+    lb = jnp.uint32(ilrans.STATE_LB)
+
+    def step(t, x):
+        slot = (x & mask).astype(jnp.int32)                    # (G, N)
+
+        # fused symbol search: sym = #{j in 1..L-1: cdf[j] <= slot},
+        # start = max such cdf[j] (rows increase), end = min cdf[j] > slot
+        def search(j, acc):
+            sym, start, end = acc
+            col = cdft_ref[pl.ds(j, 1), :]                     # (1, N) i32
+            le = col <= slot
+            sym = sym + le.astype(jnp.int32)
+            start = jnp.where(le, jnp.maximum(start, col), start)
+            end = jnp.where(le, end, jnp.minimum(end, col))
+            return sym, start, end
+
+        sym0 = jnp.zeros_like(slot)
+        start0 = jnp.zeros_like(slot)
+        end0 = jnp.full_like(slot, 1 << prec)
+        sym, start, end = jax.lax.fori_loop(1, n_sym, search,
+                                            (sym0, start0, end0))
+
+        freq = (end - start).astype(jnp.uint32)
+        x = freq * (x >> prec) + (slot - start).astype(jnp.uint32)
+        need = x < lb                                          # (G, N)
+
+        # renorm rank = exclusive prefix sum of `need` along lanes
+        need_i = need.astype(jnp.int32)
+        rank = jnp.cumsum(need_i, axis=1) - need_i             # (G, N)
+
+        # per-stream window read + one-hot select of word[rank]
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
+        rows = []
+        for g in range(g_streams):
+            chunk = words_ref[pl.ds(pos_smem[g], n_lanes),
+                              pl.ds(g, 1)]                     # (N, 1) u32
+            onehot = (k_iota == rank[g:g + 1, :])              # (N, N)
+            w_g = jnp.sum(jnp.where(onehot, chunk, jnp.uint32(0)),
+                          axis=0, keepdims=True)               # (1, N)
+            rows.append(w_g)
+            pos_smem[g] = pos_smem[g] + jnp.sum(need_i[g:g + 1, :])
+        w = jnp.concatenate(rows, axis=0)                      # (G, N)
+
+        x = jnp.where(need, (x << 16) | w, x)
+        syms_ref[pl.ds(t, 1)] = sym.astype(jnp.int8)[None]
+        return x
+
+    x_fin = jax.lax.fori_loop(0, t_steps, step, x0_ref[:, :])
+    xfin_ref[:, :] = x_fin
+    for g in range(g_streams):
+        cons_ref[g, 0] = pos_smem[g]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_steps", "prec", "g_streams",
+                                    "interpret"))
+def decode(words: jax.Array, x0: jax.Array, lane_cdf: jax.Array, *,
+           t_steps: int, prec: int = 16, g_streams: int = 8,
+           interpret: bool = False
+           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode S interleaved streams with the Pallas kernel.
+
+    words: (S, cap) u16/u32 stream words (header stripped; includes the
+           2N flush words at the front so cursors line up with the scan /
+           golden decoders).
+    x0:    (S, N) u32 initial states (pre-split flush words; use
+           ``split_init``).
+    lane_cdf: (N, L+1) i32 per-lane CDF rows.
+    Returns (syms (S, t_steps, N) i8, consumed (S,) i32, x_fin (S, N) u32).
+    """
+    s, cap = words.shape
+    n_lanes = x0.shape[1]
+    n_sym = lane_cdf.shape[1] - 1
+    g = min(g_streams, s)
+    while s % g:
+        g -= 1
+    n_blocks = s // g
+    # pad cap so in-kernel windows never run off the block
+    words_p = jnp.pad(words.astype(jnp.uint32), ((0, 0), (0, n_lanes)))
+    words_t = jnp.swapaxes(words_p, 0, 1)                      # (cap', S)
+    cdft = jnp.swapaxes(lane_cdf.astype(jnp.int32), 0, 1)      # (L+1, N)
+
+    kernel = functools.partial(
+        _decode_kernel, g_streams=g, n_lanes=n_lanes, t_steps=t_steps,
+        prec=prec, n_sym=n_sym)
+    syms_t, xfin, cons = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((g, n_lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # x0
+            pl.BlockSpec((cap + n_lanes, g), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),             # words_t
+            pl.BlockSpec((n_sym + 1, n_lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),             # cdft
+        ],
+        out_specs=[
+            pl.BlockSpec((t_steps, g, n_lanes), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_steps, s, n_lanes), jnp.int8),
+            jax.ShapeDtypeStruct((s, n_lanes), jnp.uint32),
+            jax.ShapeDtypeStruct((s, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((g,), jnp.int32)],
+        interpret=interpret,
+    )(x0.astype(jnp.uint32), words_t, cdft)
+    return (jnp.swapaxes(syms_t, 0, 1), cons[:, 0], xfin)
+
+
+def split_init(words: jax.Array, n_lanes: int) -> jax.Array:
+    """(S, cap) words -> (S, N) u32 initial states from the flush prefix."""
+    init = words[:, : 2 * n_lanes].astype(jnp.uint32)
+    hi = init[:, 0::2][:, :n_lanes]
+    lo = init[:, 1::2][:, :n_lanes]
+    return (hi << 16) | lo

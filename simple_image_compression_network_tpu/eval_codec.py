@@ -87,7 +87,8 @@ def eval_hyper_codec(images: List[np.ndarray], codec) -> Dict[str, float]:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default=None)
-    ap.add_argument("--codec", default="int8", choices=["int8", "hyperprior"])
+    ap.add_argument("--codec", default="int8",
+                    choices=["int8", "hyperprior", "meanscale"])
     ap.add_argument("--ckpt", default=None,
                     help="training checkpoint for the hyperprior codec")
     ap.add_argument("--n-synthetic", type=int, default=4)
@@ -108,14 +109,16 @@ def main(argv=None):
         res = eval_int_codec(images, params)
     else:
         from . import train
-        from .codec.hyper_codec import HyperCodec
+        from .codec.hyper_codec import HyperCodec, MeanScaleCodec
         from .utils import train_ckpt
-        cfg = train.TrainConfig(model="hyperprior")
+        cfg = train.TrainConfig(model=args.codec)
         key = jax.random.key(0)
         model, params, opt_state = train.init_state(cfg, key)
         if args.ckpt:
             _, params, _ = train_ckpt.restore(args.ckpt, params, opt_state)
-        res = eval_hyper_codec(images, HyperCodec(model, params))
+        codec_cls = (MeanScaleCodec if args.codec == "meanscale"
+                     else HyperCodec)
+        res = eval_hyper_codec(images, codec_cls(model, params))
 
     out = {k: v for k, v in res.items() if k != "per_image"}
     out["n_images"] = len(images)

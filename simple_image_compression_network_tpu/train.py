@@ -44,16 +44,21 @@ def build_model(cfg: TrainConfig):
 
 
 def build_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.adam(cfg.lr)
+    # clip: the GDN/RD objective occasionally produces huge gradients
+    # (observed loss spikes mid-training); global-norm clipping keeps the
+    # trajectory stable without lr tuning.
+    return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
 
 
 def init_state(cfg: TrainConfig, key: jax.Array,
                input_shape: Tuple[int, int, int, int] | None = None):
     model = build_model(cfg)
     shape = input_shape or (1, cfg.crop, cfg.crop, 3)
-    params = model.init(key, jnp.zeros(shape, jnp.float32),
-                        key=jax.random.fold_in(key, 1))
-    opt_state = build_optimizer(cfg).init(params)
+    # jit the inits: eager init dispatches hundreds of tiny ops one RPC at
+    # a time — minutes over a tunneled TPU, milliseconds compiled.
+    params = jax.jit(model.init)(key, jnp.zeros(shape, jnp.float32),
+                                 key=jax.random.fold_in(key, 1))
+    opt_state = jax.jit(build_optimizer(cfg).init)(params)
     return model, params, opt_state
 
 
@@ -81,3 +86,50 @@ def make_train_step(cfg: TrainConfig):
         return params, opt_state, metrics
 
     return train_step
+
+
+def device_random_crops(bank: jax.Array, crop: int, batch: int,
+                        key: jax.Array) -> jax.Array:
+    """On-device crop sampling: (N, X, Y, 3) u8 bank -> (B, crop, crop, 3)
+    f32 in [0,1].  The device-side input pipeline — no per-step host
+    transfer (each host->device dispatch costs a full RPC round trip on a
+    tunneled TPU)."""
+    n, x, y, _ = bank.shape
+    ki, kx, ky = jax.random.split(key, 3)
+    idx = jax.random.randint(ki, (batch,), 0, n)
+    ox = jax.random.randint(kx, (batch,), 0, x - crop + 1)
+    oy = jax.random.randint(ky, (batch,), 0, y - crop + 1)
+
+    def one(i, sx, sy):
+        return jax.lax.dynamic_slice(bank, (i, sx, sy, 0),
+                                     (1, crop, crop, 3))[0]
+
+    crops = jax.vmap(one)(idx, ox, oy)
+    return crops.astype(jnp.float32) / 255.0
+
+
+def make_train_block(cfg: TrainConfig, n_steps: int):
+    """K train steps in ONE jitted call: device-side crop sampling +
+    ``lax.fori_loop`` over steps.  Returns
+    block(params, opt_state, bank, key) -> (params, opt_state, mean metrics).
+
+    One dispatch per K steps instead of 3+ per step — the difference
+    between 0.14 and ~native steps/s over a tunneled TPU."""
+    step_fn = make_train_step(cfg)
+
+    def block(params, opt_state, bank, key):
+        zero = {"loss": 0.0, "bpp": 0.0, "mse": 0.0, "psnr": 0.0}
+
+        def body(i, carry):
+            p, o, acc = carry
+            kk = jax.random.fold_in(key, i)
+            batch = device_random_crops(bank, cfg.crop, cfg.batch,
+                                        jax.random.fold_in(kk, 1))
+            p, o, m = step_fn(p, o, batch, jax.random.fold_in(kk, 2))
+            return p, o, {k: acc[k] + m[k] for k in acc}
+
+        params, opt_state, tot = jax.lax.fori_loop(
+            0, n_steps, body, (params, opt_state, zero))
+        return params, opt_state, {k: v / n_steps for k, v in tot.items()}
+
+    return block
