@@ -133,15 +133,18 @@ def measure_codec(params, args):
 
         t_ek, (w, cnt) = timed(enc_kernel)
         tc = jnp.asarray(np.asarray(cnt))
+        dec_impl = int_codec._decode_impl(n_lanes)
 
         def dec_kernel():
             syms, ok = int_codec._device_decode_batch(
-                w.astype(jnp.uint16), tc, lane_cdf, t_steps=t_steps)
+                w.astype(jnp.uint16), tc, lane_cdf, t_steps=t_steps,
+                impl=dec_impl)
             np.asarray(ok[0])
 
         t_dk, _ = timed(dec_kernel)
         detail.update(enc_kernel_mps=round(mp / t_ek, 1),
-                      dec_kernel_mps=round(mp / t_dk, 1))
+                      dec_kernel_mps=round(mp / t_dk, 1),
+                      dec_kernel_impl=dec_impl)
 
     # pipelined serving throughput: depth-2 async pipelines overlap the
     # device stages with link transfer + host packing (codec/pipeline.py)

@@ -23,6 +23,7 @@ becomes ~4/(8/H):1 where H is the latent entropy in bits.
 from __future__ import annotations
 
 import functools
+import os
 import struct
 from typing import Dict, List, Sequence, Tuple
 
@@ -140,10 +141,32 @@ def _device_encode_batch(z: jax.Array, lane_cdf: jax.Array, *,
     return words.astype(jnp.uint16), counts
 
 
-@functools.partial(jax.jit, static_argnames=("t_steps",))
+def _decode_impl(n_lanes: int) -> str:
+    """Pick the device decode engine: the Pallas VPU kernel on TPU when
+    the lane count is vector-register aligned, else the lax.scan form
+    (bit-identical).  SICN_RANS_IMPL=scan|pallas overrides."""
+    forced = os.environ.get("SICN_RANS_IMPL")
+    if forced:
+        return forced
+    if jax.default_backend() == "tpu" and n_lanes % 128 == 0:
+        return "pallas"
+    return "scan"
+
+
+@functools.partial(jax.jit, static_argnames=("t_steps", "impl"))
 def _device_decode_batch(words: jax.Array, true_counts: jax.Array,
-                         lane_cdf: jax.Array, *, t_steps: int):
+                         lane_cdf: jax.Array, *, t_steps: int,
+                         impl: str = "scan"):
     """(B*S, cap) u16 words -> (syms (B*S, t, N) int8, per-stream ok)."""
+    if impl.startswith("pallas"):
+        from . import pallas_rans
+        x0 = pallas_rans.split_init(words, lane_cdf.shape[0])
+        syms, consumed, x_fin = pallas_rans.decode(
+            words, x0, lane_cdf, t_steps=t_steps,
+            interpret=impl.endswith("interpret"))
+        ok = jnp.logical_and(consumed == true_counts,
+                             jnp.all(x_fin == ilrans.STATE_LB, axis=1))
+        return syms, ok
     dec = jax.vmap(lambda w: device_rans.decode(w, lane_cdf, None,
                                                 t_steps=t_steps))
     syms, consumed, x_fin = dec(words)
@@ -277,7 +300,7 @@ def decompress_batch(params: Dict[str, jax.Array], streams: Sequence[bytes],
             for m in metas for chunk in m[2]])
         syms, ok = _device_decode_batch(
             jnp.asarray(words), jnp.asarray(true_counts), lane_cdf,
-            t_steps=t_steps)
+            t_steps=t_steps, impl=_decode_impl(n_lanes))
         ok_np = np.asarray(ok)
         if not ok_np.all():
             bad = int(np.flatnonzero(~ok_np)[0])

@@ -115,7 +115,11 @@ def main(argv=None):
         key = jax.random.key(0)
         model, params, opt_state = train.init_state(cfg, key)
         if args.ckpt:
-            _, params, _ = train_ckpt.restore(args.ckpt, params, opt_state)
+            if args.ckpt.endswith(".params.msgpack"):
+                params = train_ckpt.restore_params(args.ckpt, params)
+            else:
+                _, params, _ = train_ckpt.restore(args.ckpt, params,
+                                                  opt_state)
         codec_cls = (MeanScaleCodec if args.codec == "meanscale"
                      else HyperCodec)
         res = eval_hyper_codec(images, codec_cls(model, params))

@@ -68,3 +68,30 @@ def test_pallas_decode_matches_scan(case):
         assert int(p_cons[j]) == int(s_cons)
         np.testing.assert_array_equal(np.asarray(p_xfin[j]),
                                       np.asarray(s_xfin))
+
+
+def test_int_codec_roundtrip_with_pallas_impl(monkeypatch):
+    """Full bitstream roundtrip forced through the Pallas decode kernel
+    (interpret mode) — integration of kernel + container + synthesis."""
+    import os
+    import jax.numpy as jnp2
+    from simple_image_compression_network_tpu.codec import int_codec
+    from simple_image_compression_network_tpu.config import (
+        reference_net_for_input)
+    from simple_image_compression_network_tpu.models import codec_int
+    from simple_image_compression_network_tpu.utils import weights_io
+    monkeypatch.setenv("SICN_RANS_IMPL", "pallas_interpret")
+    ckpt = os.path.join(os.path.dirname(__file__), "..",
+                        "checkpoints", "reference_weights.npz")
+    params = weights_io.load_checkpoint(ckpt)
+    rng = np.random.default_rng(9)
+    cfg = reference_net_for_input(96, 64)
+    x = jnp2.asarray(rng.integers(0, 256, size=(1, 96, 64, 3),
+                                  dtype=np.uint8).view(np.int8))
+    cdfs = int_codec.build_static_cdfs(params, [x], cfg)
+    data = int_codec.compress(params, x, cfg, static_cdfs=cdfs,
+                              coder="device")
+    x_hat, z_hat = int_codec.decompress(params, data, static_cdfs=cdfs,
+                                        coder="device")
+    direct = codec_int.eight_layers_net(params, x, cfg)
+    np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(direct))
