@@ -38,8 +38,10 @@ def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
     """One grid step: decode t_steps symbols for g_streams streams.
 
     x0_ref:    (G, N) u32   initial coder states (flush words pre-split)
-    words_ref: (cap, G) u32 word stream, TRANSPOSED so the per-stream
-               renorm window is a sublane-dim dynamic slice
+    words_ref: (1, cap, G) u32 word stream, TRANSPOSED so the per-stream
+               renorm window is a sublane-dim dynamic slice (the leading
+               unit dim is the grid-blocked stream-group axis: Mosaic
+               requires the block's minor dims to equal the array's)
     cdft_ref:  (L+1, N) i32 transposed per-lane CDF rows
     syms_ref:  (t_steps, G, N) i8 out
     xfin_ref:  (G, N) u32 out — final states (validity: == 2^16)
@@ -50,8 +52,15 @@ def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
         pos_smem[g] = 2 * n_lanes
     mask = jnp.uint32((1 << prec) - 1)
     lb = jnp.uint32(ilrans.STATE_LB)
+    # loop-invariant lane matrices (hoisted out of the step loop):
+    # strictly-lower-triangular f32 for the renorm-rank prefix sum (Mosaic
+    # has no cumsum primitive; counts <= N are exact in f32 on the MXU)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 1)
+    tri = (k_iota < j_iota).astype(jnp.float32)            # (N, N)
 
-    def step(t, x):
+    def step(t, carry):
+        x, cnt = carry
         slot = (x & mask).astype(jnp.int32)                    # (G, N)
 
         # fused symbol search: sym = #{j in 1..L-1: cdf[j] <= slot},
@@ -75,31 +84,37 @@ def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
         x = freq * (x >> prec) + (slot - start).astype(jnp.uint32)
         need = x < lb                                          # (G, N)
 
-        # renorm rank = exclusive prefix sum of `need` along lanes
+        # renorm rank = exclusive prefix sum of `need` along lanes, as a
+        # (G,N) @ strict-lower-tri (N,N) MXU matmul (no cumsum in Mosaic)
         need_i = need.astype(jnp.int32)
-        rank = jnp.cumsum(need_i, axis=1) - need_i             # (G, N)
+        rank = jnp.dot(need.astype(jnp.float32), tri,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
 
         # per-stream window read + one-hot select of word[rank]
-        k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
         rows = []
         for g in range(g_streams):
-            chunk = words_ref[pl.ds(pos_smem[g], n_lanes),
-                              pl.ds(g, 1)]                     # (N, 1) u32
+            # words are u16-valued: reduce as i32 (Mosaic has no unsigned
+            # reductions), widen back after
+            chunk = words_ref[0, pl.ds(pos_smem[g], n_lanes),
+                              pl.ds(g, 1)].astype(jnp.int32)   # (N, 1)
             onehot = (k_iota == rank[g:g + 1, :])              # (N, N)
-            w_g = jnp.sum(jnp.where(onehot, chunk, jnp.uint32(0)),
+            w_g = jnp.sum(jnp.where(onehot, chunk, 0),
                           axis=0, keepdims=True)               # (1, N)
             rows.append(w_g)
             pos_smem[g] = pos_smem[g] + jnp.sum(need_i[g:g + 1, :])
-        w = jnp.concatenate(rows, axis=0)                      # (G, N)
+        w = jnp.concatenate(rows, axis=0).astype(jnp.uint32)   # (G, N)
 
         x = jnp.where(need, (x << 16) | w, x)
         syms_ref[pl.ds(t, 1)] = sym.astype(jnp.int8)[None]
-        return x
+        return x, cnt + jnp.sum(need_i, axis=1, keepdims=True)
 
-    x_fin = jax.lax.fori_loop(0, t_steps, step, x0_ref[:, :])
+    cnt0 = jnp.full((g_streams, 1), 2 * n_lanes, jnp.int32)
+    x_fin, cnt_fin = jax.lax.fori_loop(0, t_steps, step,
+                                       (x0_ref[:, :], cnt0))
     xfin_ref[:, :] = x_fin
-    for g in range(g_streams):
-        cons_ref[g, 0] = pos_smem[g]
+    # scalar VMEM stores are unsupported: consumption is tracked as a
+    # (G, 1) vector in the loop carry and stored whole
+    cons_ref[:, :] = cnt_fin
 
 
 @functools.partial(jax.jit,
@@ -128,7 +143,9 @@ def decode(words: jax.Array, x0: jax.Array, lane_cdf: jax.Array, *,
     n_blocks = s // g
     # pad cap so in-kernel windows never run off the block
     words_p = jnp.pad(words.astype(jnp.uint32), ((0, 0), (0, n_lanes)))
-    words_t = jnp.swapaxes(words_p, 0, 1)                      # (cap', S)
+    # (n_blocks, cap', g): stream-group axis leading so each grid step's
+    # block is (1, cap', g) — minor dims equal the array's (Mosaic rule)
+    words_t = jnp.swapaxes(words_p.reshape(n_blocks, g, cap + n_lanes), 1, 2)
     cdft = jnp.swapaxes(lane_cdf.astype(jnp.int32), 0, 1)      # (L+1, N)
 
     kernel = functools.partial(
@@ -140,7 +157,7 @@ def decode(words: jax.Array, x0: jax.Array, lane_cdf: jax.Array, *,
         in_specs=[
             pl.BlockSpec((g, n_lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),             # x0
-            pl.BlockSpec((cap + n_lanes, g), lambda i: (0, i),
+            pl.BlockSpec((1, cap + n_lanes, g), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # words_t
             pl.BlockSpec((n_sym + 1, n_lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),             # cdft
