@@ -218,10 +218,14 @@ def main():
 
     best_mps, best_b, best_dt = measure_transform(params, args)
 
-    try:
-        extra = measure_codec(params, args)
-    except Exception as e:  # secondary metrics must never break the bench
-        extra = {"bitstream_error": repr(e)[:200]}
+    extra = {}
+    for attempt in range(3):  # tunneled remote-compile 500s are transient
+        try:
+            extra = measure_codec(params, args)
+            break
+        except Exception as e:  # secondary metrics must never break bench
+            extra = {"bitstream_error": repr(e)[:200],
+                     "bitstream_attempts": attempt + 1}
 
     baseline_mps = 0.25  # FPGA floor, BASELINE.md
     print(json.dumps({

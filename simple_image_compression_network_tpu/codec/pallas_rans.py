@@ -63,22 +63,26 @@ def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
         x, cnt = carry
         slot = (x & mask).astype(jnp.int32)                    # (G, N)
 
-        # fused symbol search: sym = #{j in 1..L-1: cdf[j] <= slot},
-        # start = max such cdf[j] (rows increase), end = min cdf[j] > slot
-        def search(j, acc):
-            sym, start, end = acc
-            col = cdft_ref[pl.ds(j, 1), :]                     # (1, N) i32
-            le = col <= slot
-            sym = sym + le.astype(jnp.int32)
-            start = jnp.where(le, jnp.maximum(start, col), start)
-            end = jnp.where(le, end, jnp.minimum(end, col))
-            return sym, start, end
-
-        sym0 = jnp.zeros_like(slot)
-        start0 = jnp.zeros_like(slot)
-        end0 = jnp.full_like(slot, 1 << prec)
-        sym, start, end = jax.lax.fori_loop(1, n_sym, search,
-                                            (sym0, start0, end0))
+        # fused symbol search, fully vectorized over the CDF table:
+        # sym = #{j in 1..L-1: cdf[j] <= slot}, start = max such cdf[j]
+        # (rows increase), end = min cdf[j] > slot.  One (L+1, N) compare
+        # + three masked sublane reductions per stream — no serial loop.
+        # Row 0 (cdf=0) is always <= slot: subtract 1 from the count; its
+        # value 0 is the max-identity.  Row L (2^prec) is always > slot:
+        # exactly the min-identity the old loop initialized `end` with.
+        rows = cdft_ref[:, :]                                  # (L+1, N)
+        syms, starts, ends = [], [], []
+        for g in range(g_streams):
+            le = rows <= slot[g:g + 1, :]                      # (L+1, N)
+            syms.append(jnp.sum(le.astype(jnp.int32), axis=0,
+                                keepdims=True))
+            starts.append(jnp.max(jnp.where(le, rows, 0), axis=0,
+                                  keepdims=True))
+            ends.append(jnp.min(jnp.where(le, 1 << prec, rows), axis=0,
+                                keepdims=True))
+        sym = jnp.concatenate(syms, axis=0) - 1                # (G, N)
+        start = jnp.concatenate(starts, axis=0)
+        end = jnp.concatenate(ends, axis=0)
 
         freq = (end - start).astype(jnp.uint32)
         x = freq * (x >> prec) + (slot - start).astype(jnp.uint32)

@@ -39,25 +39,39 @@ def _pallas_deconv(x, w, b):
     return pallas_conv.deconv2d_int8_pallas(x, w, b)
 
 
+def _pallas_conv2(x, w, b):
+    from ..ops import pallas_conv
+    return pallas_conv.conv2d_int8_pallas2(x, w, b)
+
+
+def _pallas_deconv2(x, w, b):
+    from ..ops import pallas_conv
+    return pallas_conv.deconv2d_int8_pallas2(x, w, b)
+
+
 _CONV_IMPL = {
     "lax": conv_int.conv2d_int8,
+    "laxf32": conv_int.conv2d_int8_f32,
     "s2d": conv_fast.conv2d_int8_s2d,
     "gemm": conv_fast.conv2d_int8_gemm,
     "pallas": _pallas_conv,
+    "pallas2": _pallas_conv2,
 }
 _DECONV_IMPL = {
     "dilated": conv_int.deconv2d_int8,
     "phased": conv_int.deconv2d_int8_phased,
     "d2s": conv_fast.deconv2d_int8_d2s,
     "pd2s": _pallas_deconv,
+    "pd2s2": _pallas_deconv2,
 }
 
-# Default schedule: fastest measured configuration on TPU v5e (bench.py):
-# ~430 MP/s encode+decode at batch 8 (461 at batch 16) vs 101 MP/s for the
-# naive lax plan.  The Pallas fused kernel wins layers 0 and 6; XLA's conv
-# path wins the others.  Off-TPU the pallas impls lower to the bit-identical
+# Default schedule: fastest measured configuration on TPU v5e
+# (scripts/profile_layers.py + scripts/tune_plan.py).  The Pallas fused
+# kernel wins the synthesis stack (155/327 TOPS on layers 5/6 vs 108/137
+# for the XLA d2s form; layer 7 via the padded-N variant); XLA's conv path
+# wins layers 1-3.  Off-TPU the pallas impls lower to the bit-identical
 # XLA forms.
-DEFAULT_PLAN = ("pallas", "lax", "lax", "lax", "d2s", "d2s", "pd2s", "d2s")
+DEFAULT_PLAN = ("pallas", "lax", "lax", "lax", "pd2s", "pd2s", "pd2s", "pd2s")
 
 
 def _plan(impl, cfg: ModelConfig):

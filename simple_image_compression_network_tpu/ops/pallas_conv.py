@@ -174,6 +174,142 @@ def conv3x3_s1_int8(x: jax.Array, w3: jax.Array, bias: jax.Array, *,
     )(xp, w9, bias_i32)
 
 
+def _flat_kernel(x_hbm, w_ref, b_ref, out_ref, xtile, sems, *, tx, yp, cp,
+                 coutp, relu, n_x):
+    """Flat-M variant: one grid step computes tx*yp output rows.
+
+    The activation lives in HBM as (B, Xp*Yp, cp) — pixels flattened
+    row-major onto the SUBLANE axis, channels on lanes.  Every kernel tap
+    (dx, dy) is then the pure sublane-offset view
+    ``xtile[dx*Yp + dy : dx*Yp + dy + tx*Yp]``: a vreg rotate, not the
+    lane-dim refold of ``_conv3x3_kernel`` (which re-tiles the whole slab
+    9x per step and dominates bandwidth-heavy layers).
+    """
+    t = pl.program_id(0)
+    b, i = t // n_x, t % n_x
+
+    def start(tt, slot):
+        bb, ii = tt // n_x, tt % n_x
+        pltpu.make_async_copy(
+            x_hbm.at[bb].at[pl.ds(ii * tx * yp, (tx + 2) * yp + 8)],
+            xtile.at[slot], sems.at[slot]).start()
+
+    @pl.when(t == 0)
+    def _():
+        start(0, 0)
+
+    slot = t % 2
+    pltpu.make_async_copy(
+        x_hbm.at[b].at[pl.ds(i * tx * yp, (tx + 2) * yp + 8)],
+        xtile.at[slot], sems.at[slot]).wait()
+
+    @pl.when(t + 1 < pl.num_programs(0))
+    def _():
+        start(t + 1, (t + 1) % 2)
+
+    acc = jnp.zeros((tx * yp, coutp), jnp.int32)
+    for dx in range(3):
+        for dy in range(3):
+            a = xtile[slot, pl.ds(dx * yp + dy, tx * yp), :]
+            acc = acc + jnp.dot(a, w_ref[3 * dx + dy],
+                                preferred_element_type=jnp.int32)
+    v = ((acc + b_ref[:] + 128) & 0xFF) - 128
+    if relu:
+        v = jnp.maximum(v, 0)
+    out_ref[0] = v.astype(jnp.int8)
+
+
+def conv3x3_s1_int8_flat(x: jax.Array, w3: jax.Array, bias: jax.Array, *,
+                         tx: int = 8, relu: bool = True,
+                         x_valid: bool = False, y_valid: bool = False,
+                         interpret: bool = False) -> jax.Array:
+    """Fused 3x3/s1 conv, flat-M layout (see ``_flat_kernel``).
+
+    Same contract as ``conv3x3_s1_int8``; output channels are padded to
+    the 128-lane MXU width in-kernel and sliced after (identical MXU
+    cycles, aligned stores).
+    """
+    b, xd, yd, cin = x.shape
+    cout = w3.shape[-1]
+    assert w3.shape == (3, 3, cin, cout)
+    xo = xd - 2 if x_valid else xd
+    yo = yd - 2 if y_valid else yd
+    if xo % 8 == 0:
+        tx = max(8, tx)
+        while xo % tx:
+            tx -= 8
+    if xo % 8 or tx % 8 or xo % tx:
+        return _conv3x3_xla(x, w3, bias, relu=relu, x_valid=x_valid,
+                            y_valid=y_valid)
+    cp = _round_up(cin, 128)
+    coutp = _round_up(cout, 128)
+    yp = _round_up(yo + 2, 8)
+    x_lo = 0 if x_valid else 1
+    y_lo = 0 if y_valid else 1
+    # +3 X rows (not +2): tap row m + dx*yp + dy reaches (tx+2)*yp + 1,
+    # and the slab DMA length is rounded to (tx+2)*yp + 8 for tiling
+    xp = jnp.pad(x, ((0, 0), (x_lo, xo + 3 - xd - x_lo),
+                     (y_lo, yp - yd - y_lo), (0, cp - cin)))
+    xp = xp.reshape(b, (xo + 3) * yp, cp)
+    w9 = jnp.pad(w3.astype(jnp.int8),
+                 ((0, 0), (0, 0), (0, cp - cin),
+                  (0, coutp - cout))).reshape(9, cp, coutp)
+    bias_i32 = jnp.pad(bias.astype(jnp.int32), (0, coutp - cout)
+                       ).reshape(1, coutp)
+    n_x = xo // tx
+    kernel = functools.partial(_flat_kernel, tx=tx, yp=yp, cp=cp,
+                               coutp=coutp, relu=relu, n_x=n_x)
+    flops = 2 * b * xo * yp * coutp * 9 * cp
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * n_x,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
+            pl.BlockSpec((9, cp, coutp), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, coutp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tx * yp, coutp),
+            lambda t, n_x=n_x: (t // n_x, t % n_x, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, xo * yp, coutp), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, (tx + 2) * yp + 8, cp), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=xp.size + 9 * w9.size,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(xp, w9, bias_i32)
+    return out.reshape(b, xo, yp, coutp)[:, :, :yo, :cout]
+
+
+def conv2d_int8_pallas2(x: jax.Array, w: jax.Array, bias: jax.Array, *,
+                        tx: int = 8, interpret: bool = False) -> jax.Array:
+    """Reference conv2d layer (k5/s2/p2) via s2d + the flat-M kernel."""
+    if not interpret and not _tpu_available():
+        return conv_fast.conv2d_int8_s2d(x, w, bias)
+    xs = conv_fast.space_to_depth(x.astype(jnp.int8))
+    w3 = conv_fast.conv_weights_s2d(w)
+    return conv3x3_s1_int8_flat(xs, w3, bias, tx=tx, interpret=interpret)
+
+
+def deconv2d_int8_pallas2(x: jax.Array, w: jax.Array, bias: jax.Array, *,
+                          tx: int = 8, interpret: bool = False) -> jax.Array:
+    """Reference deconv522 layer via the flat-M kernel + depth-to-space."""
+    if not interpret and not _tpu_available():
+        return conv_fast.deconv2d_int8_d2s(x, w, bias)
+    w3 = conv_fast.deconv_weights_d2s(w)  # (3, 3, C, 4*Cout)
+    o = w.shape[0]
+    bias4 = jnp.tile(bias.reshape(1, o), (4, 1)).reshape(4 * o)
+    y = conv3x3_s1_int8_flat(x.astype(jnp.int8), w3, bias4, tx=tx,
+                             interpret=interpret)
+    return conv_fast.depth_to_space(y)
+
+
 def _tpu_available() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -196,13 +332,24 @@ def deconv2d_int8_pallas(x: jax.Array, w: jax.Array, bias: jax.Array, *,
                          tx: int = 8, interpret: bool = False) -> jax.Array:
     """Reference deconv522 layer via the Pallas kernel + depth-to-space.
 
-    Falls back to the bit-identical XLA d2s form off-TPU.
+    Falls back to the bit-identical XLA d2s form off-TPU.  Small output
+    widths (e.g. the RGB output layer: 4 phases x 3 ch = 12) are padded
+    to the 128-lane MXU width with zero weight columns and sliced after:
+    the systolic array spends identical cycles on N=12 and N=128, while
+    12-lane stores force Mosaic into unaligned layouts (measured 3x
+    slower end to end).
     """
     if not interpret and not _tpu_available():
         return conv_fast.deconv2d_int8_d2s(x, w, bias)
     w3 = conv_fast.deconv_weights_d2s(w)  # (3, 3, C, 4*Cout)
     o = w.shape[0]
     bias4 = jnp.tile(bias.reshape(1, o), (4, 1)).reshape(4 * o)
+    n_pad = _round_up(4 * o, 128) - 4 * o
+    if n_pad:
+        w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, 0), (0, n_pad)))
+        bias4 = jnp.pad(bias4, (0, n_pad))
     y = conv3x3_s1_int8(x.astype(jnp.int8), w3, bias4, tx=tx,
                         interpret=interpret)
+    if n_pad:
+        y = y[..., : 4 * o]
     return conv_fast.depth_to_space(y)

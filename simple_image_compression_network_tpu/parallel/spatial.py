@@ -79,7 +79,7 @@ def _conv_local(h: jax.Array, w: jax.Array, b: jax.Array, impl: str,
 
     All impls are bit-identical; "pallas"/"s2d"/"gemm" run the s2d rewrite
     (halo 2 px == 1 s2d row), "lax" the direct k5 conv."""
-    if impl in ("pallas", "s2d", "gemm"):
+    if impl in ("pallas", "pallas2", "s2d", "gemm"):
         hx = _halo_or_pad(_halo_or_pad(h, 2, ax, 1), 2, ay, 2)
         xs = conv_fast.space_to_depth(hx.astype(jnp.int8))
         w3 = conv_fast.conv_weights_s2d(w)
@@ -99,7 +99,7 @@ def _deconv_local(h: jax.Array, w: jax.Array, b: jax.Array, impl: str,
     """One transposed-conv layer on a local tile: halo 1 + d2s 3x3 conv."""
     hx = _halo_or_pad(_halo_or_pad(h, 1, ax, 1), 1, ay, 2)
     w3 = conv_fast.deconv_weights_d2s(w)
-    if impl == "pd2s":
+    if impl.startswith("pd2s"):
         o = w.shape[0]
         bias4 = jnp.tile(b.reshape(1, o), (4, 1)).reshape(4 * o)
         y = pallas_conv.conv3x3_s1_int8_any(

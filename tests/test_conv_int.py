@@ -86,3 +86,16 @@ def test_conv2d_dilation_one_equals_plain(rng):
     dil = integer.conv2d_golden_dilated(x, w, b, stride=2, padding=2,
                                         dilation=(1, 1))
     np.testing.assert_array_equal(plain, dil)
+
+
+def test_conv2d_f32_matches_golden(rng):
+    """f32-accumulated conv is bit-exact (sums < 2^24, exact in f32)."""
+    import jax.numpy as jnp
+    from simple_image_compression_network_tpu.ops import conv_int, integer
+    x = rng.integers(0, 256, size=(2, 16, 12, 3), dtype=np.uint8)
+    w = rng.integers(-8, 8, size=(8, 5, 5, 3), dtype=np.int8)
+    b = rng.integers(-128, 128, size=(8,), dtype=np.int8)
+    golden = integer.conv2d_golden(x, w, b)
+    out = conv_int.conv2d_int8_f32(jnp.asarray(x.view(np.int8)),
+                                   jnp.asarray(w), jnp.asarray(b))
+    np.testing.assert_array_equal(np.asarray(out), golden)

@@ -65,3 +65,58 @@ def test_conv3x3_kernel_valid_modes(rng):
         ref = bias_relu_epilogue(acc, b)
         assert out.shape == ref.shape
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_conv3x3_flat_kernel_matches_lax(rng):
+    from jax import lax
+    from simple_image_compression_network_tpu.ops.conv_int import (
+        DIMNUMS, bias_relu_epilogue)
+    x = jnp.asarray(rng.integers(-128, 128, size=(2, 16, 9, 12),
+                                 dtype=np.int8))
+    w3 = jnp.asarray(rng.integers(-8, 8, size=(3, 3, 12, 16), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-128, 128, size=(16,), dtype=np.int8))
+    out = pallas_conv.conv3x3_s1_int8_flat(x, w3, b, tx=8, interpret=True)
+    acc = lax.conv_general_dilated(x, w3, (1, 1), [(1, 1), (1, 1)],
+                                   dimension_numbers=DIMNUMS,
+                                   preferred_element_type=jnp.int32)
+    ref = bias_relu_epilogue(acc, b)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_conv3x3_flat_valid_modes(rng):
+    from jax import lax
+    from simple_image_compression_network_tpu.ops.conv_int import (
+        DIMNUMS, bias_relu_epilogue)
+    x = jnp.asarray(rng.integers(-128, 128, size=(2, 18, 9, 12),
+                                 dtype=np.int8))
+    w3 = jnp.asarray(rng.integers(-8, 8, size=(3, 3, 12, 16), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-128, 128, size=(16,), dtype=np.int8))
+    for xv, yv in ((True, False), (False, True), (True, True)):
+        out = pallas_conv.conv3x3_s1_int8_flat(x, w3, b, tx=8, x_valid=xv,
+                                               y_valid=yv, interpret=True)
+        acc = lax.conv_general_dilated(
+            x, w3, (1, 1), [(0, 0) if xv else (1, 1),
+                            (0, 0) if yv else (1, 1)],
+            dimension_numbers=DIMNUMS, preferred_element_type=jnp.int32)
+        ref = bias_relu_epilogue(acc, b)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_conv2d_deconv2d_pallas2_match_golden(rng):
+    x = rng.integers(0, 256, size=(1, 16, 12, 3), dtype=np.uint8)
+    w = rng.integers(-8, 8, size=(8, 5, 5, 3), dtype=np.int8)
+    b = rng.integers(-128, 128, size=(8,), dtype=np.int8)
+    golden = integer.conv2d_golden(x, w, b)
+    out = pallas_conv.conv2d_int8_pallas2(jnp.asarray(x.view(np.int8)),
+                                          jnp.asarray(w), jnp.asarray(b),
+                                          tx=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), golden)
+
+    xd = (rng.integers(0, 128, size=(1, 8, 6, 4), dtype=np.uint8))
+    wd = rng.integers(-8, 8, size=(6, 5, 5, 4), dtype=np.int8)
+    bd = rng.integers(-128, 128, size=(6,), dtype=np.int8)
+    golden = integer.deconv2d_golden(xd, wd, bd)
+    out = pallas_conv.deconv2d_int8_pallas2(jnp.asarray(xd.view(np.int8)),
+                                            jnp.asarray(wd), jnp.asarray(bd),
+                                            tx=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), golden)
