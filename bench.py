@@ -115,64 +115,84 @@ def measure_codec(params, args):
 
     t_dec, x_hat = timed(dec)
 
-    # device entropy-coder kernels alone (stream bytes stay on device)
+    # device entropy-coder kernels alone (stream bytes stay on device).
+    # Each sub-section runs in its own guard: a failure here records its
+    # error but cannot erase the e2e/RD numbers (round-2 lesson).
     detail = {}
     if coder == "device" and static_cdfs is not None:
-        from simple_image_compression_network_tpu.codec import device_rans
-        z = int_codec._jit_analysis(int_codec.REFERENCE_NET)(params, x)
-        zx, zy, c = z.shape[1:]
-        s, lm = int_codec.plan_streams(zx * zy)
-        n_lanes, t_steps = lm * c, (zx * zy) // lm // s
-        lane_cdf = jnp.asarray(int_codec._lane_cdf(static_cdfs, n_lanes))
+        try:
+            from simple_image_compression_network_tpu.codec import (
+                device_rans)
+            z = int_codec._jit_analysis(int_codec.REFERENCE_NET)(params, x)
+            zx, zy, c = z.shape[1:]
+            s, lm = int_codec.plan_streams(zx * zy)
+            n_lanes, t_steps = lm * c, (zx * zy) // lm // s
+            lane_cdf = jnp.asarray(int_codec._lane_cdf(static_cdfs, n_lanes))
 
-        def enc_kernel():
-            w, cnt = int_codec._device_encode_batch(
-                z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
-            np.asarray(cnt[0])
-            return w, cnt
+            def enc_kernel():
+                w, cnt = int_codec._device_encode_batch(
+                    z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes,
+                    n_streams=s)
+                np.asarray(cnt[0])
+                return w, cnt
 
-        t_ek, (w, cnt) = timed(enc_kernel)
-        tc = jnp.asarray(np.asarray(cnt))
-        dec_impl = int_codec._decode_impl(n_lanes)
+            t_ek, (w, cnt) = timed(enc_kernel)
+            detail.update(enc_kernel_mps=round(mp / t_ek, 1),
+                          enc_kernel_impl=getattr(
+                              int_codec, "_encode_impl", lambda n: "scan"
+                          )(n_lanes))
+            # bucket the capacity buffer to the true payload, exactly as
+            # the production decode path does (int_codec.decompress_batch):
+            # the raw 2N+tN worst-case width does not fit the Pallas
+            # kernel's VMEM window
+            cnt_np = np.asarray(cnt)
+            mxb = min(device_rans.bucket_words(int(cnt_np.max())),
+                      w.shape[1])
+            wb = jnp.asarray(np.asarray(w[:, :mxb], np.uint16))
+            tc = jnp.asarray(cnt_np)
+            dec_impl = int_codec._decode_impl(n_lanes, mxb)
 
-        def dec_kernel():
-            syms, ok = int_codec._device_decode_batch(
-                w.astype(jnp.uint16), tc, lane_cdf, t_steps=t_steps,
-                impl=dec_impl)
-            np.asarray(ok[0])
+            def dec_kernel():
+                syms, ok = int_codec._device_decode_batch(
+                    wb, tc, lane_cdf, t_steps=t_steps, impl=dec_impl)
+                np.asarray(ok[0])
 
-        t_dk, _ = timed(dec_kernel)
-        detail.update(enc_kernel_mps=round(mp / t_ek, 1),
-                      dec_kernel_mps=round(mp / t_dk, 1),
-                      dec_kernel_impl=dec_impl)
+            t_dk, _ = timed(dec_kernel)
+            detail.update(dec_kernel_mps=round(mp / t_dk, 1),
+                          dec_kernel_impl=dec_impl)
+        except Exception as e:
+            detail["kernel_error"] = repr(e)[:200]
 
     # pipelined serving throughput: depth-2 async pipelines overlap the
     # device stages with link transfer + host packing (codec/pipeline.py)
     if coder == "device" and static_cdfs is not None:
-        from simple_image_compression_network_tpu.codec import pipeline
-        n_pipe = max(4, args.codec_iters)
+        try:
+            from simple_image_compression_network_tpu.codec import pipeline
+            n_pipe = max(4, args.codec_iters)
 
-        enc = pipeline.PipelinedEncoder(params, static_cdfs, depth=2)
-        enc.submit(x)
-        enc.drain()  # warm
-        t0 = time.perf_counter()
-        for _ in range(n_pipe):
+            enc = pipeline.PipelinedEncoder(params, static_cdfs, depth=2)
             enc.submit(x)
-        piped = enc.drain()
-        t_enc_p = (time.perf_counter() - t0) / n_pipe
+            enc.drain()  # warm
+            t0 = time.perf_counter()
+            for _ in range(n_pipe):
+                enc.submit(x)
+            piped = enc.drain()
+            t_enc_p = (time.perf_counter() - t0) / n_pipe
 
-        dec_in = piped[-1]
-        dec = pipeline.PipelinedDecoder(params, static_cdfs, depth=2)
-        dec.submit(dec_in)
-        dec.drain()  # warm
-        t0 = time.perf_counter()
-        for _ in range(n_pipe):
+            dec_in = piped[-1]
+            dec = pipeline.PipelinedDecoder(params, static_cdfs, depth=2)
             dec.submit(dec_in)
-        outs = dec.drain()
-        np.asarray(outs[-1][0, 0, 0])
-        t_dec_p = (time.perf_counter() - t0) / n_pipe
-        detail.update(e2e_encode_pipelined_mps=round(mp / t_enc_p, 1),
-                      e2e_decode_pipelined_mps=round(mp / t_dec_p, 1))
+            dec.drain()  # warm
+            t0 = time.perf_counter()
+            for _ in range(n_pipe):
+                dec.submit(dec_in)
+            outs = dec.drain()
+            np.asarray(outs[-1][0, 0, 0])
+            t_dec_p = (time.perf_counter() - t0) / n_pipe
+            detail.update(e2e_encode_pipelined_mps=round(mp / t_enc_p, 1),
+                          e2e_decode_pipelined_mps=round(mp / t_dec_p, 1))
+        except Exception as e:
+            detail["pipeline_error"] = repr(e)[:200]
 
     # correctness + RD
     direct = jax.jit(codec_int.eight_layers_net)(params, x)
@@ -219,13 +239,19 @@ def main():
     best_mps, best_b, best_dt = measure_transform(params, args)
 
     extra = {}
-    for attempt in range(3):  # tunneled remote-compile 500s are transient
+    for attempt in range(3):
         try:
             extra = measure_codec(params, args)
             break
         except Exception as e:  # secondary metrics must never break bench
             extra = {"bitstream_error": repr(e)[:200],
                      "bitstream_attempts": attempt + 1}
+            # retry ONLY transient tunneled remote-compile failures
+            # (HTTP 5xx); deterministic errors (shape/OOM/Mosaic) fall
+            # through immediately
+            if "HTTP 5" not in repr(e):
+                break
+            time.sleep(5 * (attempt + 1))
 
     baseline_mps = 0.25  # FPGA floor, BASELINE.md
     print(json.dumps({

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""On-TPU smoke test (< 2 min): run before every snapshot.
+
+Exercises the HARDWARE lowering of everything bench.py times — the round-2
+failure mode (a kernel that passes interpret-mode tests but fails Mosaic
+compile at bench shapes) cannot survive this script:
+
+  1. fused Pallas conv kernels at all 8 reference layer shapes (vs the
+     bit-identical XLA lowering),
+  2. the Pallas rANS decode kernel at the bench's bucketed word width
+     (vs the lax.scan decoder),
+  3. full compress -> decompress bit-exactness through real container
+     bytes (the reference's bar, conv3_nonsquare_tb.cpp:1068-1123),
+  4. the over-wide word buffer is rejected with a clear error and the
+     production picker falls back to scan.
+
+Exit code 0 iff every check passes.  Usage: python scripts/smoke_tpu.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    t_start = time.time()
+    import jax
+    import jax.numpy as jnp
+    from simple_image_compression_network_tpu.utils.cache import (
+        enable_compile_cache)
+    enable_compile_cache()
+    from simple_image_compression_network_tpu.codec import (
+        device_rans, int_codec, pallas_rans)
+    from simple_image_compression_network_tpu.models import codec_int
+    from simple_image_compression_network_tpu.utils import (
+        data as datalib, weights_io)
+
+    dev = jax.devices()[0]
+    assert dev.platform == "tpu", f"smoke test needs a TPU, got {dev}"
+    print(f"# device: {dev}")
+    failures = []
+
+    def check(name, ok):
+        print(f"# {'PASS' if ok else 'FAIL'}: {name} [{time.time()-t_start:.0f}s]")
+        if not ok:
+            failures.append(name)
+
+    params = {k: jnp.asarray(v) for k, v in weights_io.load_checkpoint(
+        os.path.join(ROOT, "checkpoints", "reference_weights.npz")).items()}
+    imgs_u8 = datalib.synthetic_images(2, 768, 512, seed=3)
+    x = jnp.asarray(imgs_u8.view(np.int8))
+
+    # 1. full net, tuned plan (Pallas kernels) vs pure-XLA plan, on chip
+    tuned = jax.jit(codec_int.eight_layers_net)(params, x)
+    xla = jax.jit(lambda p, v: codec_int.eight_layers_net(
+        p, v, impl=("lax",) * 4 + ("d2s",) * 4))(params, x)
+    check("pallas conv kernels == XLA (all 8 layers, hardware)",
+          bool((np.asarray(tuned) == np.asarray(xla)).all()))
+
+    # 2. codec roundtrip through real container bytes, bit-exact
+    cdfs = np.load(os.path.join(ROOT, "checkpoints", "latent_cdfs.npz"))[
+        "cdfs"]
+    streams = int_codec.compress_batch(params, x, static_cdfs=cdfs)
+    x_hat, _ = int_codec.decompress_batch(params, streams,
+                                          static_cdfs=cdfs)
+    check("compress->decompress bit-exact (device coder, container bytes)",
+          bool((np.asarray(x_hat) == np.asarray(tuned)).all()))
+
+    # 3. Pallas rANS decode at the bench's bucketed width vs scan decoder
+    z = int_codec._jit_analysis(int_codec.REFERENCE_NET)(params, x)
+    zx, zy, c = z.shape[1:]
+    s, lm = int_codec.plan_streams(zx * zy)
+    n_lanes, t_steps = lm * c, (zx * zy) // lm // s
+    lane_cdf = jnp.asarray(int_codec._lane_cdf(cdfs, n_lanes))
+    w, cnt = int_codec._device_encode_batch(
+        z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
+    cnt_np = np.asarray(cnt)
+    mxb = min(device_rans.bucket_words(int(cnt_np.max())), w.shape[1])
+    wb = jnp.asarray(np.asarray(w[:, :mxb], np.uint16))
+    tc = jnp.asarray(cnt_np)
+    sy_p, ok_p = int_codec._device_decode_batch(
+        wb, tc, lane_cdf, t_steps=t_steps, impl="pallas")
+    sy_s, ok_s = int_codec._device_decode_batch(
+        wb, tc, lane_cdf, t_steps=t_steps, impl="scan")
+    check("pallas rANS decode kernel (hardware, bucketed width)",
+          bool(np.asarray(ok_p).all()))
+    check("pallas rANS decode == scan decode",
+          bool((np.asarray(sy_p) == np.asarray(sy_s)).all())
+          and bool(np.asarray(ok_s).all()))
+
+    # 4. over-wide buffer: kernel rejects clearly, picker falls back
+    too_wide = pallas_rans.max_supported_cap(n_lanes) + 1
+    try:
+        pallas_rans.decode(jnp.zeros((8, too_wide), jnp.uint16),
+                           jnp.zeros((8, n_lanes), jnp.uint32),
+                           lane_cdf, t_steps=4)
+        rejected = False
+    except ValueError:
+        rejected = True
+    check("over-wide word buffer rejected with ValueError", rejected)
+    check("impl picker falls back to scan on over-wide buffers",
+          int_codec._decode_impl(n_lanes, too_wide) == "scan")
+
+    dt = time.time() - t_start
+    if failures:
+        print(f"# SMOKE FAILED ({len(failures)}): {failures} [{dt:.0f}s]")
+        return 1
+    print(f"# SMOKE OK [{dt:.0f}s]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -141,14 +141,18 @@ def _device_encode_batch(z: jax.Array, lane_cdf: jax.Array, *,
     return words.astype(jnp.uint16), counts
 
 
-def _decode_impl(n_lanes: int) -> str:
+def _decode_impl(n_lanes: int, cap: int | None = None) -> str:
     """Pick the device decode engine: the Pallas VPU kernel on TPU when
-    the lane count is vector-register aligned, else the lax.scan form
-    (bit-identical).  SICN_RANS_IMPL=scan|pallas overrides."""
+    the lane count is vector-register aligned and the word buffer fits the
+    kernel's VMEM window, else the lax.scan form (bit-identical).
+    SICN_RANS_IMPL=scan|pallas overrides."""
     forced = os.environ.get("SICN_RANS_IMPL")
     if forced:
         return forced
     if jax.default_backend() == "tpu" and n_lanes % 128 == 0:
+        from . import pallas_rans
+        if cap is not None and cap > pallas_rans.max_supported_cap(n_lanes):
+            return "scan"  # over-wide buffer: VMEM window would not compile
         return "pallas"
     return "scan"
 
@@ -300,7 +304,7 @@ def decompress_batch(params: Dict[str, jax.Array], streams: Sequence[bytes],
             for m in metas for chunk in m[2]])
         syms, ok = _device_decode_batch(
             jnp.asarray(words), jnp.asarray(true_counts), lane_cdf,
-            t_steps=t_steps, impl=_decode_impl(n_lanes))
+            t_steps=t_steps, impl=_decode_impl(n_lanes, cap))
         ok_np = np.asarray(ok)
         if not ok_np.all():
             bad = int(np.flatnonzero(~ok_np)[0])

@@ -31,6 +31,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import ilrans
 
+# The word buffer enters the kernel as a (1, cap + N, G) VMEM block whose
+# minor (stream-group) axis G << 128 is padded to the full 128-lane vreg
+# width by Mosaic, so its true VMEM footprint is (cap + N) * 128 * 4 bytes
+# regardless of G.  Past ~half of VMEM, Mosaic refuses to compile (the
+# round-2 bench fed the unbucketed 2N+tN worst-case capacity here and got
+# an opaque INTERNAL).  Capacities are guarded against this limit and
+# callers fall back to the bit-identical lax.scan decoder above it.
+_WORDS_VMEM_LIMIT = 8 * 1024 * 1024
+
+
+def max_supported_cap(n_lanes: int) -> int:
+    """Largest words-buffer capacity (in u16 words) ``decode`` accepts."""
+    return _WORDS_VMEM_LIMIT // (128 * 4) - 2 * n_lanes
+
 
 def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
                    cons_ref, pos_smem, *, g_streams, n_lanes, t_steps,
@@ -70,15 +84,15 @@ def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
         # Row 0 (cdf=0) is always <= slot: subtract 1 from the count; its
         # value 0 is the max-identity.  Row L (2^prec) is always > slot:
         # exactly the min-identity the old loop initialized `end` with.
-        rows = cdft_ref[:, :]                                  # (L+1, N)
+        cdf_rows = cdft_ref[:, :]                              # (L+1, N)
         syms, starts, ends = [], [], []
         for g in range(g_streams):
-            le = rows <= slot[g:g + 1, :]                      # (L+1, N)
+            le = cdf_rows <= slot[g:g + 1, :]                  # (L+1, N)
             syms.append(jnp.sum(le.astype(jnp.int32), axis=0,
                                 keepdims=True))
-            starts.append(jnp.max(jnp.where(le, rows, 0), axis=0,
+            starts.append(jnp.max(jnp.where(le, cdf_rows, 0), axis=0,
                                   keepdims=True))
-            ends.append(jnp.min(jnp.where(le, 1 << prec, rows), axis=0,
+            ends.append(jnp.min(jnp.where(le, 1 << prec, cdf_rows), axis=0,
                                 keepdims=True))
         sym = jnp.concatenate(syms, axis=0) - 1                # (G, N)
         start = jnp.concatenate(starts, axis=0)
@@ -95,7 +109,7 @@ def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
                        preferred_element_type=jnp.float32).astype(jnp.int32)
 
         # per-stream window read + one-hot select of word[rank]
-        rows = []
+        word_rows = []
         for g in range(g_streams):
             # words are u16-valued: reduce as i32 (Mosaic has no unsigned
             # reductions), widen back after
@@ -104,9 +118,9 @@ def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
             onehot = (k_iota == rank[g:g + 1, :])              # (N, N)
             w_g = jnp.sum(jnp.where(onehot, chunk, 0),
                           axis=0, keepdims=True)               # (1, N)
-            rows.append(w_g)
+            word_rows.append(w_g)
             pos_smem[g] = pos_smem[g] + jnp.sum(need_i[g:g + 1, :])
-        w = jnp.concatenate(rows, axis=0).astype(jnp.uint32)   # (G, N)
+        w = jnp.concatenate(word_rows, axis=0).astype(jnp.uint32)  # (G, N)
 
         x = jnp.where(need, (x << 16) | w, x)
         syms_ref[pl.ds(t, 1)] = sym.astype(jnp.int8)[None]
@@ -140,6 +154,12 @@ def decode(words: jax.Array, x0: jax.Array, lane_cdf: jax.Array, *,
     """
     s, cap = words.shape
     n_lanes = x0.shape[1]
+    if cap > max_supported_cap(n_lanes):
+        raise ValueError(
+            f"word buffer cap={cap} exceeds the VPU kernel's VMEM window "
+            f"({max_supported_cap(n_lanes)} words for {n_lanes} lanes); "
+            "bucket the capacity to the true payload "
+            "(device_rans.bucket_words) or use the scan decoder")
     n_sym = lane_cdf.shape[1] - 1
     g = min(g_streams, s)
     while s % g:

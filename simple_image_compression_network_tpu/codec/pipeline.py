@@ -129,7 +129,7 @@ class PipelinedDecoder:
                                                    n_lanes))
         syms, ok = int_codec._device_decode_batch(
             jnp.asarray(words), jnp.asarray(true_counts), lane_cdf,
-            t_steps=t_steps, impl=int_codec._decode_impl(n_lanes))
+            t_steps=t_steps, impl=int_codec._decode_impl(n_lanes, cap))
         zj = syms.reshape(len(streams), zx, zy, c)
         cfg = (REFERENCE_NET if (ix, iy) == (768, 512)
                else reference_net_for_input(ix, iy))

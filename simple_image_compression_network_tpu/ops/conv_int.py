@@ -67,14 +67,15 @@ def conv2d_int8_f32(x: jax.Array, w: jax.Array, bias: jax.Array, *,
                     stride: int = 2, padding: int = 2) -> jax.Array:
     """The conv2d layer computed in f32 — bit-exact by range analysis.
 
-    Every partial sum is an integer with |acc| <= K * 127 * 127 < 2^24
-    (layer 0: 75 taps -> < 2^21), so f32 (24-bit mantissa) represents the
-    accumulation exactly and the rounded i32 equals the int path.  XLA's
-    f32 conv handles tiny channel counts (the RGB input layer) with its
-    image-layer path instead of padding C=3 to 128 int8 lanes.
+    Every partial sum is an integer with |acc| <= K * 128 * 128 (int8
+    minima are -128 for both operands; layer 0: 75 taps -> < 2^21), so
+    f32 (24-bit mantissa) represents the accumulation exactly and the
+    rounded i32 equals the int path.  XLA's f32 conv handles tiny channel
+    counts (the RGB input layer) with its image-layer path instead of
+    padding C=3 to 128 int8 lanes.
     """
     k = w.shape[1]
-    assert k * k * w.shape[3] * 127 * 127 < (1 << 24)
+    assert k * k * w.shape[3] * 128 * 128 <= (1 << 24)
     acc = lax.conv_general_dilated(
         x.astype(jnp.int8).astype(jnp.float32),
         _w_hwio(w).astype(jnp.float32),

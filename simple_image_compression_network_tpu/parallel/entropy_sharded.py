@@ -56,7 +56,7 @@ def _local_histogram(z: jax.Array, n_sym: int = _NSYM,
 
     acc0 = jnp.zeros((c, n_sym), jnp.int32)
     if axis_name is not None:
-        acc0 = lax.pvary(acc0, axis_name)
+        acc0 = lax.pcast(acc0, axis_name, to="varying")
     acc, _ = lax.scan(step, acc0, flat.reshape(-1, chunk, c))
     return acc
 

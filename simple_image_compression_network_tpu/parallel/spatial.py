@@ -78,8 +78,12 @@ def _conv_local(h: jax.Array, w: jax.Array, b: jax.Array, impl: str,
     """One strided k5/s2 conv layer on a local tile: halo 2 + VALID conv.
 
     All impls are bit-identical; "pallas"/"s2d"/"gemm" run the s2d rewrite
-    (halo 2 px == 1 s2d row), "lax" the direct k5 conv."""
-    if impl in ("pallas", "pallas2", "s2d", "gemm"):
+    (halo 2 px == 1 s2d row), "lax" the direct k5 conv.  Spatial plans
+    accept only these names — a profile of a sharded plan must measure the
+    implementation it names ("laxf32" etc. are single-chip-only)."""
+    assert impl in ("pallas", "pallas2", "pallas3", "s2d", "gemm", "lax"), (
+        f"unsupported sharded conv impl {impl!r}")
+    if impl in ("pallas", "pallas2", "pallas3", "s2d", "gemm"):
         hx = _halo_or_pad(_halo_or_pad(h, 2, ax, 1), 2, ay, 2)
         xs = conv_fast.space_to_depth(hx.astype(jnp.int8))
         w3 = conv_fast.conv_weights_s2d(w)
@@ -153,7 +157,7 @@ def _net_local(params: Dict[str, jax.Array], x: jax.Array,
 
 def _axes_of(mesh: Mesh, axis_names: Sequence[str]
              ) -> Tuple[Optional[str], Optional[str]]:
-    ax = axis_names[0] if mesh.shape[axis_names[0]] >= 1 else None
+    ax = axis_names[0]
     ay = axis_names[1] if len(axis_names) > 1 else None
     return ax, ay
 
