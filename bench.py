@@ -215,6 +215,49 @@ def measure_codec(params, args):
     return detail
 
 
+def measure_sharded(params, args):
+    """Sharded transform on a 1-device mesh: halo/shard_map overhead.
+
+    Bounds the cost of the spatial-tiling machinery itself (same math,
+    same Pallas kernels in VALID mode, plus the per-layer halo pad logic)
+    against the plain single-chip net at an identical batch.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from simple_image_compression_network_tpu.models import codec_int
+    from simple_image_compression_network_tpu.parallel import spatial
+
+    b = min(args.codec_batch, 8)
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, size=(b, 768, 512, 3), dtype=np.uint8).view(np.int8))
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("x",))
+    xs = spatial.shard_image(x, mesh)
+
+    sharded = jax.jit(lambda p, v, s: spatial.eight_layers_net_sharded(
+        p, v + s, mesh).astype(jnp.int32).sum())
+    plain = jax.jit(lambda p, v, s: codec_int.eight_layers_net(
+        p, v + s).astype(jnp.int32).sum())
+
+    def timeit(f, v):
+        s = jnp.int32(0)
+        for _ in range(2):
+            s = f(params, v, s.astype(jnp.int8))
+        np.asarray(s)
+        s = jnp.int32(1)
+        t0 = time.perf_counter()
+        for _ in range(args.codec_iters * 3):
+            s = f(params, v, s.astype(jnp.int8))
+        np.asarray(s)
+        return (time.perf_counter() - t0) / (args.codec_iters * 3)
+
+    t_sh = timeit(sharded, xs)
+    t_pl = timeit(plain, x)
+    mp = b * 768 * 512 / 1e6
+    return {"sharded_1dev_mps": round(mp / t_sh, 1),
+            "sharded_overhead_pct": round(100.0 * (t_sh - t_pl) / t_pl, 1)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=0,
@@ -252,6 +295,11 @@ def main():
             if "HTTP 5" not in repr(e):
                 break
             time.sleep(5 * (attempt + 1))
+
+    try:
+        extra.update(measure_sharded(params, args))
+    except Exception as e:
+        extra["sharded_error"] = repr(e)[:200]
 
     baseline_mps = 0.25  # FPGA floor, BASELINE.md
     print(json.dumps({

@@ -13,7 +13,8 @@ MAGIC = b"SICT"
 VERSION = 2  # v2: entropy payloads use interleaved N-lane rANS (ilrans)
 
 CODEC_INT8 = 1        # bit-exact integer autoencoder + lossless latent coding
-CODEC_HYPERPRIOR = 2  # float transforms + scale hyperprior
+CODEC_HYPERPRIOR = 2  # float transforms + scale hyperprior (host serial rans)
+CODEC_HYPERPRIOR_DEV = 3  # hyperprior with on-device interleaved-rANS coding
 
 
 def pack(codec_id: int, sections: List[bytes]) -> bytes:

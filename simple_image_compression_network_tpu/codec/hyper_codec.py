@@ -16,18 +16,22 @@ symbols are centered.
 
 from __future__ import annotations
 
+import functools
 import struct
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.hyperprior import ScaleHyperprior
-from . import container, entropy, rans
+from . import container, device_rans, entropy, escape, ilrans, rans
+from .int_codec import plan_streams, _pack_streams, _unpack_streams
 
 _Z_MAX = 63    # hyper-latent support [-63, 63] + escape
-_Y_MAX = 255   # latent support [-255, 255] + escape
+_Y_MAX = 255   # latent support [-255, 255] + escape (host serial format)
+_Y_MAX_DEV = 127  # device format: smaller alphabet keeps the VPU symbol
+                  # search short; overflow -> escape + raw side section
 
 
 def build_factorized_cdfs(model: ScaleHyperprior, params,
@@ -67,6 +71,74 @@ def _decode(data: bytes, n: int, ctx: np.ndarray, cdfs: np.ndarray,
     return np.where(syms == esc, raw, syms - max_abs)
 
 
+# ---------------------------------------------------------------------------
+# On-device entropy coding (ilrans format, escape/bypass side channel)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("t_steps", "n_lanes",
+                                             "n_streams", "max_abs"))
+def _dev_encode(vals: jax.Array, ctx: jax.Array | None, cdfs: jax.Array, *,
+                t_steps: int, n_lanes: int, n_streams: int, max_abs: int):
+    """(B, P, C) centered ints -> per-stream word buffers, on device.
+
+    ctx: (B, P, C) int32 CDF-row indices (None = fixed per-lane rows,
+    cdfs pre-gathered to (N, L+1)).  Returns (words u16, counts, escapes
+    per image) — the only host fetches the caller needs.
+    """
+    b = vals.shape[0]
+    syms = escape.to_symbols(vals, max_abs)
+    syms = syms.reshape(b * n_streams, t_steps, n_lanes)
+    if ctx is None:
+        enc = jax.vmap(lambda s: device_rans.encode(s, cdfs, None))
+        words, counts = enc(syms)
+    else:
+        ctx_r = ctx.reshape(b * n_streams, t_steps, n_lanes)
+        enc = jax.vmap(lambda s, c: device_rans.encode(s, cdfs, c))
+        words, counts = enc(syms, ctx_r)
+    n_esc = jnp.sum(jnp.abs(vals.astype(jnp.int32)) > max_abs,
+                    axis=tuple(range(1, vals.ndim)))
+    return words.astype(jnp.uint16), counts, n_esc
+
+
+@functools.partial(jax.jit, static_argnames=("t_steps",))
+def _dev_decode_ctx(words: jax.Array, true_counts: jax.Array,
+                    cdfs: jax.Array, ctx: jax.Array, *, t_steps: int):
+    """Batched device decode with per-symbol contexts (lax.scan engine)."""
+    dec = jax.vmap(lambda w, c: device_rans.decode(w, cdfs, c,
+                                                   t_steps=t_steps))
+    syms, consumed, x_fin = dec(words.astype(jnp.uint32), ctx)
+    ok = jnp.logical_and(consumed == true_counts,
+                         jnp.all(x_fin == ilrans.STATE_LB, axis=1))
+    return syms, ok
+
+
+def _fetch_streams(words: jax.Array, counts: jax.Array, n_syms: int,
+                   n_lanes: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Bucket + fetch encoded word buffers; -> (words_np, counts_np)."""
+    counts_np = np.asarray(counts)
+    mxb = min(device_rans.bucket_words(int(counts_np.max())),
+              words.shape[1])
+    return np.asarray(words[:, :mxb]), counts_np
+
+
+def _payload(words_np: np.ndarray, counts_np: np.ndarray, n_syms: int,
+             n_lanes: int, n_streams: int, image: int) -> bytes:
+    lo = image * n_streams
+    chunks = [device_rans.bytes_from_words(
+        words_np[lo + j], int(counts_np[lo + j]), n_syms, n_lanes)
+        for j in range(n_streams)]
+    return _pack_streams(chunks)
+
+
+def _plan_lanes(n_pix: int, channels: int, lane_mult: int = 2,
+                n_streams: int = 8) -> Tuple[int, int, int]:
+    """-> (n_streams, n_lanes, t_steps) for a (P, C) channel-fastest latent."""
+    s, lm = plan_streams(n_pix, lane_mult, n_streams)
+    n_lanes = lm * channels
+    return s, n_lanes, (n_pix // lm) // s
+
+
 class HyperCodec:
     """Encoder/decoder pair sharing precomputed tables (scale prior)."""
 
@@ -76,6 +148,7 @@ class HyperCodec:
         self.scale_table = entropy.default_scale_table()
         self.z_cdfs = build_factorized_cdfs(model, params)
         self.y_cdfs = build_gaussian_cdfs(self.scale_table)
+        self.y_cdfs_dev = build_gaussian_cdfs(self.scale_table, _Y_MAX_DEV)
         self._encode_arrays = jax.jit(
             lambda x: model.apply(params, x, method=model.encode_arrays))
         self._decode_arrays = jax.jit(
@@ -131,6 +204,147 @@ class HyperCodec:
         n_pixels = x_shape[1] * x_shape[2]
         return {"bytes": len(data), "bpp": 8.0 * len(data) / n_pixels}
 
+    # --- device-format batch codec (zero host coding in the hot path) ----
+    def _encode_dev_arrays(self, x) -> Tuple[jax.Array, jax.Array,
+                                             Optional[jax.Array], jax.Array]:
+        """-> device (centered y symbols f32, z f32, mu|None, sigma)."""
+        y, z, sigma = self._encode_arrays(x)
+        return y, z, None, sigma
+
+    def _prior_from_z_dev(self, z_hat) -> Tuple[Optional[jax.Array],
+                                                jax.Array]:
+        return None, self._scales_from_z(z_hat)
+
+    def _scale_ctx(self, sigma: jax.Array) -> jax.Array:
+        """Per-latent scale-bin context, computed ON DEVICE (both sides
+        derive it from the same decoded z_hat, so they agree bitwise)."""
+        table = jnp.asarray(self.scale_table, jnp.float32)
+        idx = jnp.searchsorted(table, sigma.astype(jnp.float32),
+                               side="left")
+        return jnp.clip(idx, 0, len(self.scale_table) - 1).astype(jnp.int32)
+
+    def compress_batch(self, x: jax.Array) -> List[bytes]:
+        """(B, X, Y, 3) [0,1] images -> B device-format containers.
+
+        One batched device pass for the transforms and one per latent
+        tensor for the entropy stage; the hyper-latent z codes with fixed
+        per-lane factorized rows, the latent y with scale-bin contexts
+        gathered per step.  Out-of-alphabet values escape to a raw side
+        section (``codec/escape.py``); host work is container packing only.
+        """
+        ysym_f, z_f, _mu, sigma = self._encode_dev_arrays(x)
+        y = ysym_f.astype(jnp.int32)
+        z = z_f.astype(jnp.int32)
+        b, yx, yy, yc = y.shape
+        _, zx, zy, zc = z.shape
+        s_z, nl_z, t_z = _plan_lanes(zx * zy, zc)
+        s_y, nl_y, t_y = _plan_lanes(yx * yy, yc)
+        z_lane_cdf = jnp.asarray(self.z_cdfs[np.arange(nl_z) % zc])
+        y_cdfs = jnp.asarray(self.y_cdfs_dev)
+        ctx_y = self._scale_ctx(sigma)
+
+        zw, zcnt, z_esc = _dev_encode(
+            z.reshape(b, zx * zy, zc), None, z_lane_cdf,
+            t_steps=t_z, n_lanes=nl_z, n_streams=s_z, max_abs=_Z_MAX)
+        yw, ycnt, y_esc = _dev_encode(
+            y.reshape(b, yx * yy, yc), ctx_y.reshape(b, yx * yy, yc),
+            y_cdfs, t_steps=t_y, n_lanes=nl_y, n_streams=s_y,
+            max_abs=_Y_MAX_DEV)
+
+        zw_np, zcnt_np = _fetch_streams(zw, zcnt, t_z * nl_z, nl_z)
+        yw_np, ycnt_np = _fetch_streams(yw, ycnt, t_y * nl_y, nl_y)
+        # escapes are the tables' ~2^-16 overflow mass: fetch raw values
+        # only for images that actually have any
+        z_esc_np, y_esc_np = np.asarray(z_esc), np.asarray(y_esc)
+        z_np = np.asarray(z) if z_esc_np.any() else None
+        y_np = np.asarray(y) if y_esc_np.any() else None
+
+        header = struct.pack("<HHHHHHHH", x.shape[1], x.shape[2],
+                             zx, zy, zc, yx, yy, yc)
+        out = []
+        for i in range(b):
+            z_raw = escape.pack_raw(
+                z_np[i] if z_np is not None else np.zeros(0), _Z_MAX)
+            y_raw = escape.pack_raw(
+                y_np[i] if y_np is not None else np.zeros(0), _Y_MAX_DEV)
+            out.append(container.pack(container.CODEC_HYPERPRIOR_DEV, [
+                header,
+                _payload(zw_np, zcnt_np, t_z * nl_z, nl_z, s_z, i),
+                _payload(yw_np, ycnt_np, t_y * nl_y, nl_y, s_y, i),
+                z_raw, y_raw]))
+        return out
+
+    def decompress_batch(self, blobs: Sequence[bytes]
+                         ) -> Tuple[jax.Array, jax.Array]:
+        """B device-format containers -> (x_hat, y_hat), decoded on device."""
+        from . import int_codec
+        metas = []
+        for data in blobs:
+            cid, (hdr, z_pay, y_pay, z_raw, y_raw) = container.unpack(data)
+            assert cid == container.CODEC_HYPERPRIOR_DEV
+            metas.append((struct.unpack("<HHHHHHHH", hdr),
+                          _unpack_streams(z_pay), _unpack_streams(y_pay),
+                          z_raw, y_raw))
+        assert all(m[0] == metas[0][0] for m in metas), "mixed geometries"
+        (ix, iy, zx, zy, zc, yx, yy, yc) = metas[0][0]
+        b = len(blobs)
+        s_z, nl_z, t_z = _plan_lanes(zx * zy, zc)
+        s_y, nl_y, t_y = _plan_lanes(yx * yy, yc)
+
+        def gather_words(chunk_lists):
+            off = ilrans.unpack_header(chunk_lists[0][0])[3]
+            counts = np.asarray([(len(ch) - off) // 2
+                                 for chs in chunk_lists for ch in chs],
+                                np.int32)
+            cap = device_rans.bucket_words(int(counts.max()))
+            words = np.stack([device_rans.words_from_bytes(ch[off:], cap)
+                              for chs in chunk_lists for ch in chs])
+            return jnp.asarray(words), jnp.asarray(counts), cap
+
+        # hyper-latent: fixed per-lane rows -> int8-codec decode machinery
+        # (Pallas VPU kernel when eligible)
+        z_words, z_counts, z_cap = gather_words([m[1] for m in metas])
+        z_lane_cdf = jnp.asarray(self.z_cdfs[np.arange(nl_z) % zc])
+        z_syms, z_ok = int_codec._device_decode_batch(
+            z_words.astype(jnp.uint16), z_counts, z_lane_cdf, t_steps=t_z,
+            impl=int_codec._decode_impl(nl_z, z_cap))
+        if not bool(np.asarray(z_ok).all()):
+            raise ValueError("corrupt hyper-latent stream")
+        z_vals = z_syms.astype(jnp.int32).reshape(b, zx, zy, zc) - _Z_MAX
+        if any(escape.unpack_raw(m[3])[0].size for m in metas):
+            zs = np.asarray(z_vals) + _Z_MAX  # back to symbol space
+            z_list = []
+            for i, m in enumerate(metas):
+                raw, _ = escape.unpack_raw(m[3])
+                z_list.append(escape.from_symbols(zs[i], raw, _Z_MAX)
+                              .reshape(zx, zy, zc))
+            z_vals = jnp.asarray(np.stack(z_list), jnp.int32)
+        z_hat = z_vals.astype(jnp.float32)
+
+        mu, sigma = self._prior_from_z_dev(z_hat)
+        ctx_y = self._scale_ctx(sigma).reshape(b * s_y, t_y, nl_y)
+        y_words, y_counts, _ = gather_words([m[2] for m in metas])
+        y_syms, y_ok = _dev_decode_ctx(
+            y_words, y_counts, jnp.asarray(self.y_cdfs_dev), ctx_y,
+            t_steps=t_y)
+        if not bool(np.asarray(y_ok).all()):
+            raise ValueError("corrupt latent stream")
+        y_vals = (y_syms.astype(jnp.int32).reshape(b, yx, yy, yc)
+                  - _Y_MAX_DEV)
+        if any(escape.unpack_raw(m[4])[0].size for m in metas):
+            ys = np.asarray(y_vals) + _Y_MAX_DEV
+            y_list = []
+            for i, m in enumerate(metas):
+                raw, _ = escape.unpack_raw(m[4])
+                y_list.append(escape.from_symbols(ys[i], raw, _Y_MAX_DEV)
+                              .reshape(yx, yy, yc))
+            y_vals = jnp.asarray(np.stack(y_list), jnp.int32)
+        y_hat = y_vals.astype(jnp.float32)
+        if mu is not None:
+            y_hat = y_hat + mu
+        x_hat = self._decode_arrays(y_hat)
+        return x_hat, y_hat
+
 
 class MeanScaleCodec(HyperCodec):
     """Codec for MeanScaleHyperprior: symbols are round(y - mu) (zero-mean),
@@ -149,3 +363,10 @@ class MeanScaleCodec(HyperCodec):
     def _prior_from_z(self, z_hat):
         mu, sigma = self._params_from_z(z_hat)
         return mu, np.asarray(sigma)
+
+    def _encode_dev_arrays(self, x):
+        syms_f, z, mu, sigma = self._encode_arrays(x)
+        return syms_f, z, mu, sigma
+
+    def _prior_from_z_dev(self, z_hat):
+        return self._params_from_z(z_hat)

@@ -126,19 +126,75 @@ def _lane_cdf(cdfs: np.ndarray, n_lanes: int) -> np.ndarray:
     return cdfs[np.arange(n_lanes) % c]
 
 
+def _encode_impl(n_lanes: int) -> str:
+    """Pick the device encode engine (mirror of ``_decode_impl``): the
+    Pallas kernel on TPU for vector-aligned lane counts, else lax.scan.
+    SICN_RANS_IMPL=scan|pallas overrides."""
+    forced = os.environ.get("SICN_RANS_IMPL")
+    if forced:
+        return forced
+    if jax.default_backend() == "tpu" and n_lanes % 128 == 0:
+        return "pallas"
+    return "scan"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("t_steps", "n_lanes", "n_streams"))
-def _device_encode_batch(z: jax.Array, lane_cdf: jax.Array, *,
-                         t_steps: int, n_lanes: int, n_streams: int):
-    """(B, zx, zy, C) int8 latents -> (B*S) word streams on device.
-
-    Words come back as u16 (the wire width) to halve the device->host
-    fetch."""
+def _device_encode_scan(z: jax.Array, lane_cdf: jax.Array, *,
+                        t_steps: int, n_lanes: int, n_streams: int):
     b = z.shape[0]
     syms = z.astype(jnp.int32).reshape(b * n_streams, t_steps, n_lanes)
     enc = jax.vmap(lambda s: device_rans.encode(s, lane_cdf, None))
     words, counts = enc(syms)
     return words.astype(jnp.uint16), counts
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_steps", "n_lanes", "n_streams",
+                                    "cap", "interpret"))
+def _device_encode_pallas(z: jax.Array, lane_cdf: jax.Array, *,
+                          t_steps: int, n_lanes: int, n_streams: int,
+                          cap: int, interpret: bool = False):
+    from . import pallas_rans
+    b = z.shape[0]
+    syms = z.astype(jnp.int32).reshape(b * n_streams, t_steps, n_lanes)
+    words, counts = pallas_rans.encode_batch_compact(
+        syms, lane_cdf, cap_words=cap, interpret=interpret)
+    return words.astype(jnp.uint16), counts
+
+
+def _encode_capacity(t_steps: int, n_lanes: int) -> int | None:
+    """Max valid stream word count of the compact Pallas encoder, or None
+    when the scan engine (no capacity bound) is in use."""
+    if _encode_impl(n_lanes).startswith("pallas"):
+        from . import pallas_rans
+        return 2 * n_lanes + pallas_rans.default_encode_cap(t_steps,
+                                                            n_lanes)
+    return None
+
+
+def _device_encode_batch(z: jax.Array, lane_cdf: jax.Array, *,
+                         t_steps: int, n_lanes: int, n_streams: int):
+    """(B, zx, zy, C) int8 latents -> (B*S) word streams on device.
+
+    Words come back as u16 (the wire width) to halve the device->host
+    fetch.  The encode engine is the Pallas kernel with in-kernel stream
+    compaction when eligible (``_encode_impl``).  NOTE: the compact
+    kernel bounds payloads by ``_encode_capacity``; callers that fetch
+    counts must re-encode via ``_device_encode_scan`` when any count
+    exceeds it (incompressible content — counts stay correct, payload
+    bytes past the cap are dropped).  No host sync happens here, so the
+    hot path stays a single device program."""
+    impl = _encode_impl(n_lanes)
+    if impl.startswith("pallas"):
+        from . import pallas_rans
+        cap = pallas_rans.default_encode_cap(t_steps, n_lanes)
+        return _device_encode_pallas(
+            z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes,
+            n_streams=n_streams, cap=cap,
+            interpret=impl.endswith("interpret"))
+    return _device_encode_scan(z, lane_cdf, t_steps=t_steps,
+                               n_lanes=n_lanes, n_streams=n_streams)
 
 
 def _decode_impl(n_lanes: int, cap: int | None = None) -> str:
@@ -232,6 +288,14 @@ def compress_batch(params: Dict[str, jax.Array], x: jax.Array,
         words, counts = _device_encode_batch(
             z_dev, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
         counts_np = np.asarray(counts).reshape(b, s)
+        cap_total = _encode_capacity(t_steps, n_lanes)
+        if cap_total is not None and counts_np.max() > cap_total:
+            # incompressible content overflowed the compact kernel's
+            # staging cap: re-encode on the unbounded scan engine
+            words, counts = _device_encode_scan(
+                z_dev, lane_cdf, t_steps=t_steps, n_lanes=n_lanes,
+                n_streams=s)
+            counts_np = np.asarray(counts).reshape(b, s)
         # fetch only up to the longest stream (bucketed): the capacity
         # buffer is ~16 bits/symbol, the payload typically well under half
         mxb = min(device_rans.bucket_words(int(counts_np.max())),

@@ -205,6 +205,278 @@ def decode(words: jax.Array, x0: jax.Array, lane_cdf: jax.Array, *,
     return (jnp.swapaxes(syms_t, 0, 1), cons[:, 0], xfin)
 
 
+def _encode_kernel(syms_ref, cdft_ref, emit_ref, need_ref, xfin_ref, *,
+                   g_streams, n_lanes, t_steps, prec):
+    """One grid step: encode t_steps symbols for g_streams streams.
+
+    The reverse of ``_decode_kernel``: iterate t descending, per step do
+    the one-hot CDF start/freq select (symbols are known — no search),
+    then the u32 state update with a VPU integer division.  Emitted
+    renorm words land DENSE at their step index; the shared XLA scatter
+    (``device_rans.assemble_stream``) compacts them afterwards, so the
+    stream bytes are bit-identical to the scan encoder's.
+
+    syms_ref: (t_steps, G, N) i32 symbols
+    cdft_ref: (L+1, N) i32 transposed per-lane CDF rows
+    emit_ref: (t_steps, G, N) i32 out — candidate renorm words (x & 0xFFFF)
+    need_ref: (t_steps, G, N) i32 out — 1 where the word is really emitted
+    xfin_ref: (G, N) u32 out — final states (the stream's flush header)
+    """
+    lb = jnp.uint32(ilrans.STATE_LB)
+    mask16 = jnp.uint32(0xFFFF)   # renorm word size is 16-bit, not prec
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (cdft_ref.shape[0],
+                                                  n_lanes), 0)
+
+    def step(i, x):
+        t = t_steps - 1 - i
+        sym = syms_ref[pl.ds(t, 1)][0]                     # (G, N)
+        cdf_rows = cdft_ref[:, :]                          # (L+1, N)
+        starts, ends = [], []
+        for g in range(g_streams):
+            oh_s = l_iota == sym[g:g + 1, :]               # (L+1, N)
+            oh_e = l_iota == sym[g:g + 1, :] + 1
+            starts.append(jnp.sum(jnp.where(oh_s, cdf_rows, 0), axis=0,
+                                  keepdims=True))
+            ends.append(jnp.sum(jnp.where(oh_e, cdf_rows, 0), axis=0,
+                                keepdims=True))
+        start = jnp.concatenate(starts, axis=0).astype(jnp.uint32)
+        freq = (jnp.concatenate(ends, axis=0).astype(jnp.uint32) - start)
+
+        need = (x >> 16) >= freq
+        emit = x & mask16
+        x = jnp.where(need, x >> 16, x)
+        q = x // freq
+        x = (q << prec) + (x - q * freq) + start
+        emit_ref[pl.ds(t, 1)] = emit.astype(jnp.int32)[None]
+        need_ref[pl.ds(t, 1)] = need.astype(jnp.int32)[None]
+        return x
+
+    x_fin = jax.lax.fori_loop(0, t_steps,  step,
+                              jnp.full((g_streams, n_lanes), lb,
+                                       jnp.uint32))
+    xfin_ref[:, :] = x_fin
+
+
+@functools.partial(jax.jit, static_argnames=("prec", "g_streams",
+                                             "interpret"))
+def encode_batch(syms: jax.Array, lane_cdf: jax.Array, *,
+                 prec: int = 16, g_streams: int = 8,
+                 interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Encode S fixed-lane-context streams with the Pallas kernel.
+
+    syms: (S, t_steps, N) int; lane_cdf: (N, L+1) int32 per-lane rows.
+    Returns (words (S, 2N + tN) u32, counts (S,) i32) — bit-identical to
+    ``jax.vmap(lambda s: device_rans.encode(s, lane_cdf, None))``.
+    """
+    s, t_steps, n_lanes = syms.shape
+    g = min(g_streams, s)
+    while s % g:
+        g -= 1
+    n_blocks = s // g
+    n_sym = lane_cdf.shape[1] - 1
+    syms_t = jnp.swapaxes(syms.astype(jnp.int32), 0, 1)    # (t, S, N)
+    cdft = jnp.swapaxes(lane_cdf.astype(jnp.int32), 0, 1)  # (L+1, N)
+    kernel = functools.partial(_encode_kernel, g_streams=g,
+                               n_lanes=n_lanes, t_steps=t_steps, prec=prec)
+    emits, needs, xfin = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((t_steps, g, n_lanes), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),         # syms_t
+            pl.BlockSpec((n_sym + 1, n_lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),         # cdft
+        ],
+        out_specs=[
+            pl.BlockSpec((t_steps, g, n_lanes), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_steps, g, n_lanes), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_steps, s, n_lanes), jnp.int32),
+            jax.ShapeDtypeStruct((t_steps, s, n_lanes), jnp.int32),
+            jax.ShapeDtypeStruct((s, n_lanes), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(syms_t, cdft)
+    from . import device_rans
+    asm = jax.vmap(device_rans.assemble_stream)
+    return asm(jnp.swapaxes(emits, 0, 1).astype(jnp.uint32),
+               jnp.swapaxes(needs, 0, 1), xfin)
+
+
+def _encode_compact_kernel(syms_ref, cdft_ref, words_any, cnt_ref, xfin_ref,
+                           emit_s, need_s, stage, pos_smem, sem, *,
+                           g_streams, n_lanes, t_steps, prec, cap):
+    """Two-pass encode: reverse state loop, then forward compaction.
+
+    Pass 1 (t descending) runs the rANS state recurrence (symbols known,
+    so start/freq come from one-hot CDF selects — no search) and stores
+    candidate renorm words + emit flags in VMEM scratch.  Pass 2
+    (t ascending) computes each step's per-stream emit ranks (prefix sum
+    via the strict-lower-tri MXU matmul), compacts the emitted words of
+    a step into a (N, 1) column by one-hot selection and stores it at the
+    stream's running cursor in the staging buffer — the N-wide window
+    store may include garbage past the step's count, but the next step's
+    window starts exactly at cursor+count and overwrites it (the same
+    overwrite discipline the XLA scatter assembly gets from monotone
+    indices).  The staged payload DMAs to HBM once per grid block.
+
+    Streams whose payload exceeds ``cap`` skip the store but keep
+    counting: the caller detects count > cap and falls back to the XLA
+    assembly path.  Bytes are bit-identical to the scan encoder.
+    """
+    i = pl.program_id(0)
+    lb = jnp.uint32(ilrans.STATE_LB)
+    mask16 = jnp.uint32(0xFFFF)
+    l1 = cdft_ref.shape[0]
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (l1, n_lanes), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 1)
+    tri = (k_iota < j_iota).astype(jnp.float32)
+
+    def step1(it, x):
+        t = t_steps - 1 - it
+        sym = syms_ref[pl.ds(t, 1)][0]                     # (G, N)
+        cdf_rows = cdft_ref[:, :]
+        starts, ends = [], []
+        for g in range(g_streams):
+            oh_s = l_iota == sym[g:g + 1, :]
+            oh_e = l_iota == sym[g:g + 1, :] + 1
+            starts.append(jnp.sum(jnp.where(oh_s, cdf_rows, 0), axis=0,
+                                  keepdims=True))
+            ends.append(jnp.sum(jnp.where(oh_e, cdf_rows, 0), axis=0,
+                                keepdims=True))
+        start = jnp.concatenate(starts, axis=0).astype(jnp.uint32)
+        freq = jnp.concatenate(ends, axis=0).astype(jnp.uint32) - start
+        need = (x >> 16) >= freq
+        emit = x & mask16
+        x = jnp.where(need, x >> 16, x)
+        q = x // freq
+        x = (q << prec) + (x - q * freq) + start
+        emit_s[pl.ds(t, 1)] = emit.astype(jnp.int32)[None]
+        need_s[pl.ds(t, 1)] = need.astype(jnp.int32)[None]
+        return x
+
+    x_fin = jax.lax.fori_loop(0, t_steps, step1,
+                              jnp.full((g_streams, n_lanes), lb,
+                                       jnp.uint32))
+    xfin_ref[:, :] = x_fin
+
+    # stage is lane-padded to the full 128 vreg width: Mosaic pads a
+    # G(=8)-lane array to 128 anyway, and a full-width block can DMA to
+    # HBM without the (unsupported) narrow lane slice
+    stage[:, :] = jnp.zeros((cap + n_lanes, 128), jnp.int32)
+    for g in range(g_streams):
+        pos_smem[g] = 0
+
+    def step2(t, pos_vec):
+        need_all = need_s[pl.ds(t, 1)][0]                  # (G, N)
+        emit_all = emit_s[pl.ds(t, 1)][0]
+        rank_all = jnp.dot(need_all.astype(jnp.float32), tri,
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.int32)
+        for g in range(g_streams):
+            need_row = need_all[g:g + 1, :] != 0           # (1, N)
+            oh2 = jnp.logical_and(k_iota == rank_all[g:g + 1, :],
+                                  need_row)                # (N[k], N[lane])
+            rowcol = jnp.sum(jnp.where(oh2, emit_all[g:g + 1, :], 0),
+                             axis=1, keepdims=True)        # (N, 1)
+            p = pos_smem[g]
+
+            @pl.when(p <= cap)
+            def _():
+                stage[pl.ds(p, n_lanes), pl.ds(g, 1)] = rowcol
+            pos_smem[g] = p + jnp.sum(need_row.astype(jnp.int32))
+        return pos_vec + jnp.sum(need_all, axis=1, keepdims=True)
+
+    pos_fin = jax.lax.fori_loop(
+        0, t_steps, step2, jnp.zeros((g_streams, 1), jnp.int32))
+    cnt_ref[:, :] = pos_fin
+    dma = pltpu.make_async_copy(stage, words_any.at[i], sem)
+    dma.start()
+    dma.wait()
+
+
+def default_encode_cap(t_steps: int, n_lanes: int,
+                       vmem_limit: int = 8 * 1024 * 1024) -> int:
+    """Payload capacity (words) for the compact encode kernel's staging
+    buffer: half the 1-word/symbol worst case, bucketed, shrunk until the
+    (cap + N) x 128-lane i32 staging block fits the VMEM budget."""
+    from .device_rans import WORD_BUCKET, bucket_words
+    cap = bucket_words(max(WORD_BUCKET, (t_steps * n_lanes) // 2))
+    while cap > WORD_BUCKET and (cap + n_lanes) * 128 * 4 > vmem_limit:
+        cap -= WORD_BUCKET
+    return cap
+
+
+@functools.partial(jax.jit, static_argnames=("cap_words", "prec",
+                                             "g_streams", "interpret"))
+def encode_batch_compact(syms: jax.Array, lane_cdf: jax.Array, *,
+                         cap_words: int, prec: int = 16, g_streams: int = 8,
+                         interpret: bool = False
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Fully on-device encode: state loop AND stream compaction in-kernel.
+
+    Returns (words (S, 2N + cap_words + N) u32, counts (S,) i32) where
+    words[s, :counts[s]] is the stream (flush header + payload),
+    bit-identical to the scan encoder — PROVIDED the payload fits:
+    any stream with counts[s] > 2N + cap_words was truncated and must be
+    re-encoded via ``encode_batch`` (the caller's fallback).
+    """
+    s, t_steps, n_lanes = syms.shape
+    g = min(g_streams, s)
+    while s % g:
+        g -= 1
+    n_blocks = s // g
+    n_sym = lane_cdf.shape[1] - 1
+    syms_t = jnp.swapaxes(syms.astype(jnp.int32), 0, 1)    # (t, S, N)
+    cdft = jnp.swapaxes(lane_cdf.astype(jnp.int32), 0, 1)
+    kernel = functools.partial(_encode_compact_kernel, g_streams=g,
+                               n_lanes=n_lanes, t_steps=t_steps, prec=prec,
+                               cap=cap_words)
+    words_t, cnt, xfin = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((t_steps, g, n_lanes), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),         # syms_t
+            pl.BlockSpec((n_sym + 1, n_lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),         # cdft
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # words (HBM)
+            pl.BlockSpec((g, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, cap_words + n_lanes, 128),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((s, 1), jnp.int32),
+            jax.ShapeDtypeStruct((s, n_lanes), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t_steps, g, n_lanes), jnp.int32),  # emit_s
+            pltpu.VMEM((t_steps, g, n_lanes), jnp.int32),  # need_s
+            pltpu.VMEM((cap_words + n_lanes, 128), jnp.int32),  # stage
+            pltpu.SMEM((g,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(syms_t, cdft)
+    payload = jnp.swapaxes(words_t[:, :, :g], 1, 2
+                           ).reshape(s, cap_words + n_lanes)
+    hdr = jnp.stack([xfin >> 16, xfin & jnp.uint32(0xFFFF)],
+                    axis=2).reshape(s, 2 * n_lanes)
+    words = jnp.concatenate([hdr, payload.astype(jnp.uint32)], axis=1)
+    return words, 2 * n_lanes + cnt[:, 0]
+
+
 def split_init(words: jax.Array, n_lanes: int) -> jax.Array:
     """(S, cap) words -> (S, N) u32 initial states from the flush prefix."""
     init = words[:, : 2 * n_lanes].astype(jnp.uint32)

@@ -63,13 +63,19 @@ class PipelinedEncoder:
             z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
         hdr = struct.pack("<HHHHH", x.shape[1], x.shape[2], zx, zy, c)
         self._q.append((words, counts, b, s, t_steps * n_lanes, n_lanes,
-                        hdr))
+                        hdr, z, lane_cdf, t_steps))
         while len(self._q) > self.depth:
             self._drain_one()
 
     def _drain_one(self) -> None:
-        words, counts, b, s, n_syms, n_lanes, hdr = self._q.popleft()
+        (words, counts, b, s, n_syms, n_lanes, hdr, z, lane_cdf,
+         t_steps) = self._q.popleft()
         counts_np = np.asarray(counts).reshape(b, s)
+        cap_total = int_codec._encode_capacity(t_steps, n_lanes)
+        if cap_total is not None and counts_np.max() > cap_total:
+            words, counts = int_codec._device_encode_scan(
+                z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
+            counts_np = np.asarray(counts).reshape(b, s)
         mxb = min(device_rans.bucket_words(int(counts_np.max())),
                   words.shape[1])
         words_np = np.asarray(words[:, :mxb]).reshape(b, s, -1)

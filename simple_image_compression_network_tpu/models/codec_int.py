@@ -49,6 +49,16 @@ def _pallas_deconv2(x, w, b):
     return pallas_conv.deconv2d_int8_pallas2(x, w, b)
 
 
+def _pallas_conv3(x, w, b):
+    from ..ops import pallas_conv
+    return pallas_conv.conv2d_int8_pallas3(x, w, b)
+
+
+def _pallas_deconv3(x, w, b):
+    from ..ops import pallas_conv
+    return pallas_conv.deconv2d_int8_pallas3(x, w, b)
+
+
 _CONV_IMPL = {
     "lax": conv_int.conv2d_int8,
     "laxf32": conv_int.conv2d_int8_f32,
@@ -56,6 +66,7 @@ _CONV_IMPL = {
     "gemm": conv_fast.conv2d_int8_gemm,
     "pallas": _pallas_conv,
     "pallas2": _pallas_conv2,
+    "pallas3": _pallas_conv3,
 }
 _DECONV_IMPL = {
     "dilated": conv_int.deconv2d_int8,
@@ -63,15 +74,19 @@ _DECONV_IMPL = {
     "d2s": conv_fast.deconv2d_int8_d2s,
     "pd2s": _pallas_deconv,
     "pd2s2": _pallas_deconv2,
+    "pd2s3": _pallas_deconv3,
 }
 
 # Default schedule: fastest measured configuration on TPU v5e
-# (scripts/profile_layers.py + scripts/tune_plan.py).  The Pallas fused
-# kernel wins the synthesis stack (155/327 TOPS on layers 5/6 vs 108/137
-# for the XLA d2s form; layer 7 via the padded-N variant); XLA's conv path
-# wins layers 1-3.  Off-TPU the pallas impls lower to the bit-identical
-# XLA forms.
-DEFAULT_PLAN = ("pallas", "lax", "lax", "lax", "pd2s", "pd2s", "pd2s", "pd2s")
+# (scripts/profile_slope.py + scripts/tune_plan.py, round 3: 619 MP/s at
+# batch 32 vs 412 for the round-2 plan).  XLA's conv path wins the whole
+# analysis stack (layers 1-3 run near the int8 MXU roofline once
+# dispatch overhead is factored out — the k-slope profile); the
+# block-sparse Pallas kernel (25 real tap-blocks instead of 36, see
+# ops/pallas_conv._sparse_kernel) wins synthesis layers 4-6; the RGB
+# output layer 7 is fastest on the XLA d2s form.  Off-TPU the pallas
+# impls lower to the bit-identical XLA forms.
+DEFAULT_PLAN = ("lax", "lax", "lax", "lax", "pd2s3", "pd2s3", "pd2s3", "d2s")
 
 
 def _plan(impl, cfg: ModelConfig):

@@ -287,6 +287,210 @@ def conv3x3_s1_int8_flat(x: jax.Array, w3: jax.Array, bias: jax.Array, *,
     return out.reshape(b, xo, yp, coutp)[:, :, :yo, :cout]
 
 
+def _sparse_kernel(x_hbm, w_ref, b_ref, out_ref, xtile, sems, *, tx, yp,
+                   cp, n_blocks, blk_n, taps, relu, n_x):
+    """Block-sparse tap variant of ``_flat_kernel``.
+
+    The s2d/d2s weight rewrites (``conv_fast.conv_weights_s2d`` /
+    ``deconv_weights_d2s``) leave 11 of 36 (tap, channel-block) products
+    structurally zero — the 5-tap kernel has no (m=2, phase=1) row/column
+    (``slidingwindow.h:1254`` geometry).  The dense kernels spend 44%
+    extra MXU cycles on those zeros; this kernel enumerates only the 25
+    real blocks as lane-aligned K=ci GEMMs.
+
+    taps: static tuple of (row_off, in_lane_lo, out_block, w_idx) — one
+    GEMM per entry: acc[out_block] += slab[row_off:, in_lane_lo:+kb] @
+    w_ref[w_idx].  For the strided conv there is 1 output block and 4
+    input phase blocks; for the transposed conv 1 input block and 4
+    output phase blocks (9/6/6/4 taps each).
+    """
+    t = pl.program_id(0)
+    b, i = t // n_x, t % n_x
+    kb = w_ref.shape[1]
+
+    def start(tt, slot):
+        bb, ii = tt // n_x, tt % n_x
+        pltpu.make_async_copy(
+            x_hbm.at[bb].at[pl.ds(ii * tx * yp, (tx + 2) * yp + 8)],
+            xtile.at[slot], sems.at[slot]).start()
+
+    @pl.when(t == 0)
+    def _():
+        start(0, 0)
+
+    slot = t % 2
+    pltpu.make_async_copy(
+        x_hbm.at[b].at[pl.ds(i * tx * yp, (tx + 2) * yp + 8)],
+        xtile.at[slot], sems.at[slot]).wait()
+
+    @pl.when(t + 1 < pl.num_programs(0))
+    def _():
+        start(t + 1, (t + 1) % 2)
+
+    m = tx * yp
+    accs = [jnp.zeros((m, blk_n), jnp.int32) for _ in range(n_blocks)]
+    for row_off, in_lo, out_blk, w_idx in taps:
+        a = xtile[slot, pl.ds(row_off, m), in_lo:in_lo + kb]
+        accs[out_blk] = accs[out_blk] + jnp.dot(
+            a, w_ref[w_idx], preferred_element_type=jnp.int32)
+    vs = []
+    for ob in range(n_blocks):
+        v = ((accs[ob] + b_ref[:, ob * blk_n:(ob + 1) * blk_n] + 128)
+             & 0xFF) - 128
+        if relu:
+            v = jnp.maximum(v, 0)
+        vs.append(v.astype(jnp.int8))
+    out_ref[0] = vs[0] if n_blocks == 1 else jnp.concatenate(vs, axis=-1)
+
+
+def _sparse_call(xp, w_taps, bias_row, *, b, xo, yp, cp, n_blocks, blk_n,
+                 taps, relu, tx, interpret):
+    """Shared pallas_call plumbing for the block-sparse tap kernel.
+
+    xp: (B, (xo+3)*yp, cp) flat slab (see ``conv3x3_s1_int8_flat``);
+    w_taps: (T, kb, blk_n); bias_row: (1, n_blocks*blk_n).
+    Returns (B, xo*yp, n_blocks*blk_n) int8 (caller reshapes/slices).
+    """
+    n_x = xo // tx
+    t_count, kb, _ = w_taps.shape
+    kernel = functools.partial(_sparse_kernel, tx=tx, yp=yp, cp=cp,
+                               n_blocks=n_blocks, blk_n=blk_n, taps=taps,
+                               relu=relu, n_x=n_x)
+    flops = 2 * b * xo * yp * blk_n * t_count * kb
+    return pl.pallas_call(
+        kernel,
+        grid=(b * n_x,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
+            pl.BlockSpec((t_count, kb, blk_n), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_blocks * blk_n), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tx * yp, n_blocks * blk_n),
+            lambda t, n_x=n_x: (t // n_x, t % n_x, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, xo * yp, n_blocks * blk_n),
+                                       jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, (tx + 2) * yp + 8, cp), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=xp.size
+                                      + w_taps.size,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(xp, w_taps, bias_row)
+
+
+def conv2d_int8_pallas3(x: jax.Array, w: jax.Array, bias: jax.Array, *,
+                        tx: int = 8, interpret: bool = False) -> jax.Array:
+    """Reference conv2d layer (k5/s2/p2): s2d + block-sparse tap kernel.
+
+    Skips the 11 structurally-zero tap blocks of the s2d rewrite (30%
+    fewer MXU FLOPs than ``conv2d_int8_pallas2``).  Requires the input
+    channel count to be a multiple of 128 (lane-aligned phase blocks);
+    falls back to the dense flat kernel otherwise.  Bit-identical to
+    every other conv2d lowering.
+    """
+    ci = x.shape[-1]
+    if (not interpret and not _tpu_available()) or ci % 128:
+        return conv2d_int8_pallas2(x, w, bias, tx=tx, interpret=interpret)
+    b, xd, yd, _ = x.shape
+    cout = w.shape[0]
+    xo, yo = xd // 2, yd // 2
+    if xo % 8:
+        return conv2d_int8_pallas2(x, w, bias, tx=tx, interpret=interpret)
+    tx = max(8, tx)
+    while xo % tx:
+        tx -= 8
+    cp = 4 * ci
+    coutp = _round_up(cout, 128)
+    yp = _round_up(yo + 2, 8)
+    # flat s2d slab with halo 1 (SAME padding of the 3x3 rewrite)
+    xs = conv_fast.space_to_depth(x.astype(jnp.int8))
+    xp = jnp.pad(xs, ((0, 0), (1, 2), (1, yp - yo - 1),
+                      (0, 0))).reshape(b, (xo + 3) * yp, cp)
+    # 25 real taps: W3[mx,my,(a,b)] nonzero iff 2mx+a < 5 and 2my+b < 5
+    taps = []
+    mats = []
+    for mx in range(3):
+        for a in range(2):
+            if 2 * mx + a >= 5:
+                continue
+            for my in range(3):
+                for bph in range(2):
+                    if 2 * my + bph >= 5:
+                        continue
+                    taps.append((mx * yp + my, (a * 2 + bph) * ci, 0,
+                                 len(mats)))
+                    mats.append(jnp.transpose(
+                        w.astype(jnp.int8)[:, 2 * mx + a, 2 * my + bph, :],
+                        (1, 0)))
+    w_taps = jnp.stack(mats)                       # (25, ci, cout)
+    w_taps = jnp.pad(w_taps, ((0, 0), (0, 0), (0, coutp - cout)))
+    bias_row = jnp.pad(bias.astype(jnp.int32), (0, coutp - cout)
+                       ).reshape(1, coutp)
+    out = _sparse_call(xp, w_taps, bias_row, b=b, xo=xo, yp=yp, cp=cp,
+                       n_blocks=1, blk_n=coutp, taps=tuple(taps),
+                       relu=True, tx=tx, interpret=interpret)
+    return out.reshape(b, xo, yp, coutp)[:, :, :yo, :cout]
+
+
+def deconv2d_int8_pallas3(x: jax.Array, w: jax.Array, bias: jax.Array, *,
+                          tx: int = 8, interpret: bool = False) -> jax.Array:
+    """Reference deconv522 layer: block-sparse d2s kernel + depth-to-space.
+
+    One accumulator per output phase (9/6/6/4 taps — 25 GEMMs instead of
+    36 dense blocks).  Requires the output channel count to be a multiple
+    of 128; falls back to the dense kernels otherwise (e.g. the RGB
+    output layer).  Bit-identical to every other deconv lowering.
+    """
+    o = w.shape[0]
+    if (not interpret and not _tpu_available()) or o % 128:
+        return deconv2d_int8_pallas(x, w, bias, tx=tx, interpret=interpret)
+    b, xd, yd, ci = x.shape
+    xo, yo = xd, yd
+    if xo % 8:
+        return deconv2d_int8_pallas(x, w, bias, tx=tx, interpret=interpret)
+    tx = max(8, tx)
+    while xo % tx:
+        tx -= 8
+    cp = _round_up(ci, 128)   # lane-align the contraction (zeros are inert)
+    yp = _round_up(yo + 2, 8)
+    xp = jnp.pad(x.astype(jnp.int8),
+                 ((0, 0), (1, 2), (1, yp - yo - 1), (0, cp - ci))
+                 ).reshape(b, (xo + 3) * yp, cp)
+    # output phase (px,py) taps: kx ≡ (2-px) mod 2, offset d=(px+kx-2)/2
+    # (deconv_weights_d2s geometry, conv_nonsquare_top.cpp:94-156)
+    taps = []
+    mats = []
+    for px in range(2):
+        for py in range(2):
+            for kx in range(5):
+                if (kx - (2 - px)) % 2:
+                    continue
+                d = (px + kx - 2) // 2
+                for ky in range(5):
+                    if (ky - (2 - py)) % 2:
+                        continue
+                    e = (py + ky - 2) // 2
+                    taps.append(((d + 1) * yp + (e + 1), 0, px * 2 + py,
+                                 len(mats)))
+                    mats.append(jnp.pad(jnp.transpose(
+                        w.astype(jnp.int8)[:, kx, ky, :], (1, 0)),
+                        ((0, cp - ci), (0, 0))))
+    w_taps = jnp.stack(mats)                       # (25, cp, o)
+    bias_row = jnp.tile(bias.astype(jnp.int32).reshape(1, o), (1, 4))
+    y = _sparse_call(xp, w_taps, bias_row, b=b, xo=xo, yp=yp, cp=cp,
+                     n_blocks=4, blk_n=o, taps=tuple(taps), relu=True,
+                     tx=tx, interpret=interpret)
+    y = y.reshape(b, xo, yp, 4 * o)[:, :, :yo, :]
+    return conv_fast.depth_to_space(y)
+
+
 def conv2d_int8_pallas2(x: jax.Array, w: jax.Array, bias: jax.Array, *,
                         tx: int = 8, interpret: bool = False) -> jax.Array:
     """Reference conv2d layer (k5/s2/p2) via s2d + the flat-M kernel."""

@@ -183,9 +183,12 @@ def eight_layers_net_sharded(params: Dict[str, jax.Array], x: jax.Array,
         assert x.shape[2] % (16 * ny) == 0, (
             f"Y={x.shape[2]} must divide into {ny} even tiles at the latent")
     spec = P(None, ax, ay, None)
+    # check_vma=False: the local net runs Pallas kernels on TPU, whose
+    # pallas_call out_shapes carry no varying-mesh-axes annotation; the
+    # per-tile computation is trivially varying over the spatial axes.
     fn = jax.shard_map(
         functools.partial(_net_local, cfg=cfg, ax=ax, ay=ay, impl=impl),
-        mesh=mesh, in_specs=(P(), spec), out_specs=spec)
+        mesh=mesh, in_specs=(P(), spec), out_specs=spec, check_vma=False)
     return fn(params, x)
 
 

@@ -120,3 +120,28 @@ def test_conv2d_deconv2d_pallas2_match_golden(rng):
                                             jnp.asarray(wd), jnp.asarray(bd),
                                             tx=8, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), golden)
+
+
+def test_conv2d_pallas3_sparse_matches_golden(rng):
+    """Block-sparse tap kernel (25 real taps): exact vs scalar golden."""
+    x = rng.integers(0, 256, size=(2, 32, 24, 128), dtype=np.uint8)
+    w = rng.integers(-8, 8, size=(192, 5, 5, 128), dtype=np.int8)
+    b = rng.integers(-128, 128, size=(192,), dtype=np.int8)
+    golden = integer.conv2d_golden(x, w, b)
+    out = pallas_conv.conv2d_int8_pallas3(jnp.asarray(x.view(np.int8)),
+                                          jnp.asarray(w), jnp.asarray(b),
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), golden)
+
+
+def test_deconv2d_pallas3_sparse_matches_golden(rng):
+    """Output-phase-blocked sparse deconv (9/6/6/4 taps): exact, incl.
+    the lane-padded ci=192 contraction."""
+    x = rng.integers(0, 128, size=(2, 16, 8, 192), dtype=np.uint8)
+    w = rng.integers(-8, 8, size=(128, 5, 5, 192), dtype=np.int8)
+    b = rng.integers(-128, 128, size=(128,), dtype=np.int8)
+    golden = integer.deconv2d_golden(x, w, b)
+    out = pallas_conv.deconv2d_int8_pallas3(jnp.asarray(x.view(np.int8)),
+                                            jnp.asarray(w), jnp.asarray(b),
+                                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), golden)

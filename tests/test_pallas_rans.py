@@ -95,3 +95,64 @@ def test_int_codec_roundtrip_with_pallas_impl(monkeypatch):
                                         coder="device")
     direct = codec_int.eight_layers_net(params, x, cfg)
     np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(direct))
+
+
+@pytest.mark.parametrize("g_streams", [1, 2, 4])
+def test_pallas_encode_matches_golden(case, g_streams):
+    """Pallas encode kernel streams == golden ilrans bytes, per stream."""
+    n_lanes, t_steps, lane_cdf, streams, syms = case
+    sy = jnp.asarray(np.stack(syms)).reshape(len(syms), t_steps, n_lanes)
+    words, counts = pallas_rans.encode_batch(
+        sy, jnp.asarray(lane_cdf), g_streams=g_streams, interpret=True)
+    counts_np = np.asarray(counts)
+    words_np = np.asarray(words)
+    off = ilrans.unpack_header(streams[0])[3]
+    for j, blob in enumerate(streams):
+        got = words_np[j, : counts_np[j]].astype("<u2").tobytes()
+        assert got == blob[off:], f"stream {j} (g={g_streams})"
+
+
+def test_pallas_encode_matches_scan(case):
+    """Pallas encode == vmapped scan encode, word-for-word."""
+    n_lanes, t_steps, lane_cdf, streams, syms = case
+    sy = jnp.asarray(np.stack(syms)).reshape(len(syms), t_steps, n_lanes)
+    p_words, p_counts = pallas_rans.encode_batch(
+        sy, jnp.asarray(lane_cdf), interpret=True)
+    import jax
+    s_words, s_counts = jax.vmap(
+        lambda s: device_rans.encode(s, jnp.asarray(lane_cdf), None))(sy)
+    np.testing.assert_array_equal(np.asarray(p_counts),
+                                  np.asarray(s_counts))
+    np.testing.assert_array_equal(np.asarray(p_words),
+                                  np.asarray(s_words))
+
+
+@pytest.mark.parametrize("g_streams", [1, 4])
+def test_pallas_encode_compact_matches_golden(case, g_streams):
+    """In-kernel compaction: stream bytes == golden ilrans, per stream."""
+    n_lanes, t_steps, lane_cdf, streams, syms = case
+    sy = jnp.asarray(np.stack(syms)).reshape(len(syms), t_steps, n_lanes)
+    words, counts = pallas_rans.encode_batch_compact(
+        sy, jnp.asarray(lane_cdf), cap_words=2048, g_streams=g_streams,
+        interpret=True)
+    counts_np = np.asarray(counts)
+    words_np = np.asarray(words)
+    off = ilrans.unpack_header(streams[0])[3]
+    for j, blob in enumerate(streams):
+        assert counts_np[j] <= 2 * n_lanes + 2048, "unexpected overflow"
+        got = words_np[j, : counts_np[j]].astype("<u2").tobytes()
+        assert got == blob[off:], f"stream {j} (g={g_streams})"
+
+
+def test_pallas_encode_compact_overflow_detected(case):
+    """A too-small staging cap yields counts > cap (caller falls back)."""
+    n_lanes, t_steps, lane_cdf, streams, syms = case
+    sy = jnp.asarray(np.stack(syms)).reshape(len(syms), t_steps, n_lanes)
+    tiny = 48
+    words, counts = pallas_rans.encode_batch_compact(
+        sy, jnp.asarray(lane_cdf), cap_words=tiny, interpret=True)
+    # true counts unchanged (still correct), exceeding the tiny cap
+    _, s_counts = pallas_rans.encode_batch(
+        sy, jnp.asarray(lane_cdf), interpret=True)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(s_counts))
+    assert (np.asarray(counts) > 2 * n_lanes + tiny).any()
