@@ -215,6 +215,72 @@ def measure_codec(params, args):
     return detail
 
 
+def measure_hyper(args):
+    """Device-format hyperprior codec: on-device entropy stage end to end.
+
+    Uses the newest trained scale-hyperprior release checkpoint; reports
+    encode/decode MP/s through real container bytes, bpp, and exactness
+    (decoded latents must equal the encoder's quantized latents).
+    """
+    import glob
+    import jax
+    import jax.numpy as jnp
+    from simple_image_compression_network_tpu import train
+    from simple_image_compression_network_tpu.codec import hyper_codec
+    from simple_image_compression_network_tpu.utils import (
+        data as datalib, train_ckpt)
+
+    cks = sorted(glob.glob(os.path.join(ROOT, "checkpoints",
+                                        "hp_scale_l*.params.msgpack")))
+    if not cks:
+        return {}
+    cfg = train.TrainConfig(model="hyperprior")
+    model, params0, _ = train.init_state(cfg, jax.random.key(0))
+    params = train_ckpt.restore_params(cks[-1], params0)
+    codec = hyper_codec.HyperCodec(model, params)
+
+    b = min(args.codec_batch, 8)
+    imgs = datalib.synthetic_images(b, 768, 512, seed=3)
+    x = jnp.asarray(imgs.astype(np.float32) / 255.0)
+    mp = b * 768 * 512 / 1e6
+
+    def enc():
+        return codec.compress_batch(x)
+
+    blobs = enc()  # compile
+    t0 = time.perf_counter()
+    for _ in range(args.codec_iters):
+        blobs = enc()
+    t_enc = (time.perf_counter() - t0) / args.codec_iters
+
+    def dec():
+        x_hat, y_hat = codec.decompress_batch(blobs)
+        np.asarray(x_hat[0, 0, 0])
+        return x_hat, y_hat
+
+    dec()
+    t0 = time.perf_counter()
+    for _ in range(args.codec_iters):
+        x_hat, y_hat = dec()
+    t_dec = (time.perf_counter() - t0) / args.codec_iters
+
+    ysym, _, mu, _ = (list(codec._encode_dev_arrays(x)) + [None])[:4]
+    expect = jnp.asarray(ysym, jnp.float32)
+    exact = bool((np.asarray(y_hat) == np.asarray(expect)).all())
+    rec = np.clip(np.asarray(x_hat) * 255.0, 0, 255)
+    mse = float(np.mean((rec - imgs.astype(np.float64)) ** 2))
+    n_bytes = sum(len(s) for s in blobs)
+    return {
+        "hyper_encode_mps": round(mp / t_enc, 1),
+        "hyper_decode_mps": round(mp / t_dec, 1),
+        "hyper_bpp": round(8.0 * n_bytes / (b * 768 * 512), 3),
+        "hyper_psnr_db": round(10.0 * np.log10(255.0 ** 2
+                                               / max(mse, 1e-12)), 2),
+        "hyper_latents_exact": exact,
+        "hyper_ckpt": os.path.basename(cks[-1]),
+    }
+
+
 def measure_sharded(params, args):
     """Sharded transform on a 1-device mesh: halo/shard_map overhead.
 
@@ -300,6 +366,11 @@ def main():
         extra.update(measure_sharded(params, args))
     except Exception as e:
         extra["sharded_error"] = repr(e)[:200]
+
+    try:
+        extra.update(measure_hyper(args))
+    except Exception as e:
+        extra["hyper_error"] = repr(e)[:200]
 
     baseline_mps = 0.25  # FPGA floor, BASELINE.md
     print(json.dumps({

@@ -26,74 +26,108 @@ def latest_ckpt(d):
         if files else None
 
 
+def eval_all(base, run):
+    run("int8 reference-semantics codec", base + ["--codec", "int8"])
+
+    def sweep(pattern, codec, label):
+        seen = set()
+        # params-only release checkpoints first (what ships), then any
+        # training dirs not covered by one
+        for p in sorted(glob.glob(os.path.join(
+                ROOT, "checkpoints", f"{pattern}*.params.msgpack"))):
+            lam = p.split("_l")[-1].replace(".params.msgpack", "")
+            seen.add(lam)
+            run(f"{label} (lambda={lam})",
+                base + ["--codec", codec, "--ckpt", p])
+        for d in sorted(glob.glob(os.path.join(ROOT, "checkpoints",
+                                               f"{pattern}*"))):
+            if not os.path.isdir(d):
+                continue
+            lam = d.split("_l")[-1]
+            ck = latest_ckpt(d)
+            if ck and lam not in seen:
+                run(f"{label} (lambda={lam})",
+                    base + ["--codec", codec, "--ckpt", ck])
+
+    sweep("hp_scale_l", "hyperprior", "scale hyperprior")
+    sweep("hp_meanscale_l", "meanscale", "mean-scale hyperprior")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-synthetic", type=int, default=4)
-    ap.add_argument("--data", default=None)
+    ap.add_argument("--data", default=None,
+                    help="extra real-image folder (default: .evalset if "
+                         "present — build with scripts/make_evalset.py)")
     args = ap.parse_args()
 
     from simple_image_compression_network_tpu import eval_codec
 
-    rows = []
+    tables = []  # (content label, rows)
+    json_out = {}
 
-    def run(label, argv):
-        print(f"# evaluating {label} ...", flush=True)
-        res = eval_codec.main(argv)
-        rows.append((label, res["bpp"], res["psnr"]))
+    def run_set(content, base):
+        rows = []
 
-    base = ["--n-synthetic", str(args.n_synthetic)]
-    if args.data:
-        base = ["--data", args.data]
+        def run(label, argv):
+            print(f"# [{content}] evaluating {label} ...", flush=True)
+            res = eval_codec.main(argv)
+            rows.append((label, res["bpp"], res["psnr"]))
 
-    run("int8 reference-semantics codec", base + ["--codec", "int8"])
-    for d in sorted(glob.glob(os.path.join(ROOT, "checkpoints",
-                                           "hp_scale_l*"))):
-        lam = d.split("_l")[-1]
-        ck = latest_ckpt(d)
-        if ck:
-            run(f"scale hyperprior (lambda={lam})",
-                base + ["--codec", "hyperprior", "--ckpt", ck])
-    for d in sorted(glob.glob(os.path.join(ROOT, "checkpoints",
-                                           "hp_meanscale_l*"))):
-        lam = d.split("_l")[-1]
-        ck = latest_ckpt(d)
-        if ck:
-            run(f"mean-scale hyperprior (lambda={lam})",
-                base + ["--codec", "meanscale", "--ckpt", ck])
+        eval_all(base, run)
+        tables.append((content, rows))
+        json_out[content] = [
+            {"codec": l, "bpp": b, "psnr_db": p} for l, b, p in rows]
 
-    content = args.data or f"synthetic 1/f ({args.n_synthetic} x 768x512)"
+    run_set(f"synthetic 1/f ({args.n_synthetic} x 768x512)",
+            ["--n-synthetic", str(args.n_synthetic)])
+    data = args.data or (os.path.join(ROOT, ".evalset")
+                         if os.path.isdir(os.path.join(ROOT, ".evalset"))
+                         else None)
+    if data:
+        n = len(glob.glob(os.path.join(data, "*")))
+        run_set(f"real photographs ({n} images, {os.path.basename(data)}/"
+                " — scripts/make_evalset.py)", ["--data", data])
+
     lines = [
         "# Measured rate-distortion (bitstream in / bitstream out)",
         "",
-        f"Content: {content}.  All rates are REAL container bytes",
-        "(headers + entropy payload); all reconstructions decoded from the",
-        "bitstream.  Reproduce with `python scripts/make_results.py`.",
+        "All rates are REAL container bytes (headers + entropy payload);",
+        "all reconstructions decoded from the bitstream.  Reproduce with",
+        "`python scripts/make_results.py` (real-photo set:",
+        "`python scripts/make_evalset.py` first).",
         "",
         "The reference publishes no RD numbers and contains no entropy",
         "coder (BASELINE.md); its implicit operating point is the fixed",
         "4:1 latent bottleneck = 6.0 bpp at whatever distortion its",
-        "integer network produces.  Every row below beats 6.0 bpp.",
+        "integer network produces.  The int8 rows use the model-shipped",
+        "static tables (production serving mode; no tables in-stream).",
         "",
-        "| codec | bpp | PSNR (dB) |",
-        "|---|---|---|",
     ]
-    for label, bpp, psnr in rows:
-        lines.append(f"| {label} | {bpp:.3f} | {psnr:.2f} |")
+    for content, rows in tables:
+        lines += [f"## {content}", "", "| codec | bpp | PSNR (dB) |",
+                  "|---|---|---|"]
+        for label, bpp, psnr in rows:
+            lines.append(f"| {label} | {bpp:.3f} | {psnr:.2f} |")
+        lines.append("")
     lines += [
-        "",
         "Notes:",
         "- int8 codec: bit-exact with the reference integer semantics",
         "  (mod-256 wrap, int4 weights); its PSNR is a property of the",
         "  reference's own trained network, reported honestly.",
         "- hyperprior rows: trained in this repo on synthetic 1/f crops",
-        "  (no dataset ships in the image; swap --data for real Kodak).",
+        "  (30k steps per lambda; checkpoints/*.params.msgpack).",
+        "- plot-ready data: docs/RESULTS.json (bpp / psnr_db per codec",
+        "  per content set).",
         "",
     ]
     out = os.path.join(ROOT, "docs", "RESULTS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
-    print(json.dumps({"rows": rows}))
-    print(f"wrote {out}")
+    with open(os.path.join(ROOT, "docs", "RESULTS.json"), "w") as f:
+        json.dump(json_out, f, indent=1)
+    print(json.dumps({"tables": {c: r for c, r in tables}}))
+    print(f"wrote {out} (+ RESULTS.json)")
 
 
 if __name__ == "__main__":

@@ -93,6 +93,31 @@ def main():
           bool((np.asarray(sy_p) == np.asarray(sy_s)).all())
           and bool(np.asarray(ok_s).all()))
 
+    # 3b. per-symbol-context coder pair (hyperprior y path) on hardware:
+    # catches silent bf16 matmul rounding in the one-hot CDF-row
+    # expansion (default MXU precision loses table bits; round-3 bug)
+    from simple_image_compression_network_tpu.codec import entropy as ent
+    rngc = np.random.default_rng(7)
+    scale_table = ent.default_scale_table()
+    ctx_cdfs = np.stack([ent.gaussian_cdf_table(sc, 127)
+                         for sc in scale_table])
+    nl_c, t_c, s_c = 384, 24, 8
+    ctx_v = rngc.integers(20, 36, size=(s_c, t_c, nl_c)).astype(np.int32)
+    sig = scale_table[ctx_v]
+    syms_c = np.clip(np.round(rngc.normal(0, 1, ctx_v.shape) * sig) + 127,
+                     0, 255).astype(np.int32)
+    encc = jax.jit(jax.vmap(lambda sy, cc: device_rans.encode(
+        sy, jnp.asarray(ctx_cdfs), cc)))
+    wds, cts = encc(jnp.asarray(syms_c), jnp.asarray(ctx_v))
+    capc = device_rans.bucket_words(int(np.asarray(cts).max()))
+    wd16 = jnp.asarray(np.asarray(wds)[:, :capc].astype(np.uint16))
+    x0c = pallas_rans.split_init(wd16, nl_c)
+    sy_c, cons_c, xf_c = pallas_rans.decode_ctx(
+        wd16, x0c, jnp.asarray(ctx_cdfs), jnp.asarray(ctx_v), t_steps=t_c)
+    check("ctx-coder roundtrip (encode scan + Pallas ctx decode, hardware)",
+          bool((np.asarray(sy_c) == syms_c).all())
+          and bool((np.asarray(cons_c) == np.asarray(cts)).all()))
+
     # 4. over-wide buffer: kernel rejects clearly, picker falls back
     too_wide = pallas_rans.max_supported_cap(n_lanes) + 1
     try:

@@ -136,8 +136,11 @@ def encode(syms: jax.Array, cdf: jax.Array, ctx: Optional[jax.Array],
         r = cdf.shape[0]
         oh_r = (jnp.arange(r, dtype=jnp.int32)[None, :]
                 == ctx.reshape(t_steps * n_lanes, 1))
+        # Precision.HIGHEST: TPU's default single-pass bf16 matmul rounds
+        # CDF values > 8-bit mantissa and corrupts start/freq silently
         rows = jnp.dot(oh_r.astype(jnp.float32), cdf.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         rows = rows.astype(jnp.int32).reshape(t_steps, n_lanes, L + 1)
     oh_s = (iota_l[None, None, :] == s32[..., None])         # (t, N, L+1)
     oh_e = (iota_l[None, None, :] == s32[..., None] + 1)

@@ -101,13 +101,35 @@ def _dev_encode(vals: jax.Array, ctx: jax.Array | None, cdfs: jax.Array, *,
     return words.astype(jnp.uint16), counts, n_esc
 
 
-@functools.partial(jax.jit, static_argnames=("t_steps",))
+def _ctx_decode_impl(n_lanes: int, cap: int) -> str:
+    """Engine for per-symbol-context decode: Pallas kernel on TPU when
+    lanes are vector-aligned and the buffer fits, else lax.scan."""
+    import os as _os
+    forced = _os.environ.get("SICN_RANS_IMPL")
+    if forced:
+        return forced
+    from . import pallas_rans
+    if (jax.default_backend() == "tpu" and n_lanes % 128 == 0
+            and cap <= pallas_rans.max_supported_cap(n_lanes)):
+        return "pallas"
+    return "scan"
+
+
+@functools.partial(jax.jit, static_argnames=("t_steps", "impl"))
 def _dev_decode_ctx(words: jax.Array, true_counts: jax.Array,
-                    cdfs: jax.Array, ctx: jax.Array, *, t_steps: int):
-    """Batched device decode with per-symbol contexts (lax.scan engine)."""
-    dec = jax.vmap(lambda w, c: device_rans.decode(w, cdfs, c,
-                                                   t_steps=t_steps))
-    syms, consumed, x_fin = dec(words.astype(jnp.uint32), ctx)
+                    cdfs: jax.Array, ctx: jax.Array, *, t_steps: int,
+                    impl: str = "scan"):
+    """Batched device decode with per-symbol contexts (Pallas or scan)."""
+    if impl.startswith("pallas"):
+        from . import pallas_rans
+        x0 = pallas_rans.split_init(words, ctx.shape[-1])
+        syms, consumed, x_fin = pallas_rans.decode_ctx(
+            words, x0, cdfs, ctx, t_steps=t_steps,
+            interpret=impl.endswith("interpret"))
+    else:
+        dec = jax.vmap(lambda w, c: device_rans.decode(w, cdfs, c,
+                                                       t_steps=t_steps))
+        syms, consumed, x_fin = dec(words.astype(jnp.uint32), ctx)
     ok = jnp.logical_and(consumed == true_counts,
                          jnp.all(x_fin == ilrans.STATE_LB, axis=1))
     return syms, ok
@@ -170,6 +192,9 @@ class HyperCodec:
 
     # --- shared coding core ---------------------------------------------
     def compress(self, x: jax.Array) -> bytes:
+        assert x.shape[1] % 64 == 0 and x.shape[2] % 64 == 0, (
+            "hyperprior codecs need image dims divisible by 64 (16x "
+            "analysis downsample, 4x hyper stage); pad with edge values")
         y, z, sigma = self._encode_parts(x)
         n, zx, zy, zc = z.shape
         assert n == 1
@@ -232,6 +257,8 @@ class HyperCodec:
         gathered per step.  Out-of-alphabet values escape to a raw side
         section (``codec/escape.py``); host work is container packing only.
         """
+        assert x.shape[1] % 64 == 0 and x.shape[2] % 64 == 0, (
+            "hyperprior codecs need image dims divisible by 64")
         ysym_f, z_f, _mu, sigma = self._encode_dev_arrays(x)
         y = ysym_f.astype(jnp.int32)
         z = z_f.astype(jnp.int32)
@@ -323,10 +350,10 @@ class HyperCodec:
 
         mu, sigma = self._prior_from_z_dev(z_hat)
         ctx_y = self._scale_ctx(sigma).reshape(b * s_y, t_y, nl_y)
-        y_words, y_counts, _ = gather_words([m[2] for m in metas])
+        y_words, y_counts, y_cap = gather_words([m[2] for m in metas])
         y_syms, y_ok = _dev_decode_ctx(
             y_words, y_counts, jnp.asarray(self.y_cdfs_dev), ctx_y,
-            t_steps=t_y)
+            t_steps=t_y, impl=_ctx_decode_impl(nl_y, y_cap))
         if not bool(np.asarray(y_ok).all()):
             raise ValueError("corrupt latent stream")
         y_vals = (y_syms.astype(jnp.int32).reshape(b, yx, yy, yc)

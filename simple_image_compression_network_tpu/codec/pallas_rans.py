@@ -205,6 +205,147 @@ def decode(words: jax.Array, x0: jax.Array, lane_cdf: jax.Array, *,
     return (jnp.swapaxes(syms_t, 0, 1), cons[:, 0], xfin)
 
 
+def _decode_ctx_kernel(x0_ref, words_ref, cdft_ref, ctx_ref, syms_ref,
+                       xfin_ref, cons_ref, pos_smem, *, g_streams, n_lanes,
+                       t_steps, prec, n_rows):
+    """Per-step-context variant of ``_decode_kernel``.
+
+    cdft_ref: (L+1, R) transposed shared table (R context rows, e.g. the
+    hyperprior's 64 scale bins); ctx_ref: (t_steps, G, N) i32 row index
+    per symbol.  Each step materializes the per-lane CDF rows with a
+    one-hot MXU matmul — rows_g = cdfT @ onehot(ctx) — instead of a
+    gather (values <= 2^prec are exact in f32); the symbol search and
+    renorm machinery are identical to the fixed-lane kernel.
+    """
+    for g in range(g_streams):
+        pos_smem[g] = 2 * n_lanes
+    mask = jnp.uint32((1 << prec) - 1)
+    lb = jnp.uint32(ilrans.STATE_LB)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 1)
+    tri = (k_iota < j_iota).astype(jnp.float32)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_lanes), 0)
+    cdft_f = cdft_ref[:, :].astype(jnp.float32)            # (L+1, R)
+
+    def step(t, carry):
+        x, cnt = carry
+        slot = (x & mask).astype(jnp.int32)                # (G, N)
+        ctx_t = ctx_ref[0, pl.ds(t, 1)][0]                 # (G, N)
+        syms, starts, ends = [], [], []
+        for g in range(g_streams):
+            oh_r = (r_iota == ctx_t[g:g + 1, :]).astype(jnp.float32)
+            # Precision.HIGHEST: the MXU's default single-pass bf16 mode
+            # rounds CDF values (> 8-bit mantissa) and silently corrupts
+            # the symbol search on hardware; the 3-pass mode is exact for
+            # these < 2^17 integers (caught by scripts/smoke_tpu.py)
+            rows_g = jnp.dot(cdft_f, oh_r,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST
+                             ).astype(jnp.int32)           # (L+1, N)
+            le = rows_g <= slot[g:g + 1, :]
+            syms.append(jnp.sum(le.astype(jnp.int32), axis=0,
+                                keepdims=True))
+            starts.append(jnp.max(jnp.where(le, rows_g, 0), axis=0,
+                                  keepdims=True))
+            ends.append(jnp.min(jnp.where(le, 1 << prec, rows_g), axis=0,
+                                keepdims=True))
+        sym = jnp.concatenate(syms, axis=0) - 1
+        start = jnp.concatenate(starts, axis=0)
+        end = jnp.concatenate(ends, axis=0)
+
+        freq = (end - start).astype(jnp.uint32)
+        x = freq * (x >> prec) + (slot - start).astype(jnp.uint32)
+        need = x < lb
+        need_i = need.astype(jnp.int32)
+        rank = jnp.dot(need.astype(jnp.float32), tri,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        word_rows = []
+        for g in range(g_streams):
+            chunk = words_ref[0, pl.ds(pos_smem[g], n_lanes),
+                              pl.ds(g, 1)].astype(jnp.int32)
+            onehot = (k_iota == rank[g:g + 1, :])
+            w_g = jnp.sum(jnp.where(onehot, chunk, 0),
+                          axis=0, keepdims=True)
+            word_rows.append(w_g)
+            pos_smem[g] = pos_smem[g] + jnp.sum(need_i[g:g + 1, :])
+        w = jnp.concatenate(word_rows, axis=0).astype(jnp.uint32)
+        x = jnp.where(need, (x << 16) | w, x)
+        # symbols can exceed int8 range for wide alphabets: store i32
+        syms_ref[pl.ds(t, 1)] = sym[None]
+        return x, cnt + jnp.sum(need_i, axis=1, keepdims=True)
+
+    cnt0 = jnp.full((g_streams, 1), 2 * n_lanes, jnp.int32)
+    x_fin, cnt_fin = jax.lax.fori_loop(0, t_steps, step,
+                                       (x0_ref[:, :], cnt0))
+    xfin_ref[:, :] = x_fin
+    cons_ref[:, :] = cnt_fin
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_steps", "prec", "g_streams",
+                                    "interpret"))
+def decode_ctx(words: jax.Array, x0: jax.Array, cdfs: jax.Array,
+               ctx: jax.Array, *, t_steps: int, prec: int = 16,
+               g_streams: int = 8, interpret: bool = False
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode S streams whose per-symbol CDF row varies (shared table).
+
+    words: (S, cap) u16/u32; x0: (S, N) u32; cdfs: (R, L+1) i32 shared
+    context table; ctx: (S, t_steps, N) i32 row indices.
+    Returns (syms (S, t_steps, N) i32, consumed (S,), x_fin (S, N)).
+    """
+    s, cap = words.shape
+    n_lanes = x0.shape[1]
+    if cap > max_supported_cap(n_lanes):
+        raise ValueError(
+            f"word buffer cap={cap} exceeds the VPU kernel's VMEM window; "
+            "bucket the capacity or use the scan decoder")
+    n_rows, l1 = cdfs.shape
+    g = min(g_streams, s)
+    while s % g:
+        g -= 1
+    n_blocks = s // g
+    words_p = jnp.pad(words.astype(jnp.uint32), ((0, 0), (0, n_lanes)))
+    words_t = jnp.swapaxes(words_p.reshape(n_blocks, g, cap + n_lanes), 1, 2)
+    cdft = jnp.swapaxes(cdfs.astype(jnp.int32), 0, 1)      # (L+1, R)
+    ctx_t = jnp.swapaxes(ctx.astype(jnp.int32).reshape(
+        n_blocks, g, t_steps, n_lanes), 1, 2)              # (nb, t, g, N)
+
+    kernel = functools.partial(
+        _decode_ctx_kernel, g_streams=g, n_lanes=n_lanes, t_steps=t_steps,
+        prec=prec, n_rows=n_rows)
+    syms_t, xfin, cons = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((g, n_lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # x0
+            pl.BlockSpec((1, cap + n_lanes, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # words_t
+            pl.BlockSpec((l1, n_rows), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),             # cdft
+            pl.BlockSpec((1, t_steps, g, n_lanes), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),             # ctx
+        ],
+        out_specs=[
+            pl.BlockSpec((t_steps, g, n_lanes), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_steps, s, n_lanes), jnp.int32),
+            jax.ShapeDtypeStruct((s, n_lanes), jnp.uint32),
+            jax.ShapeDtypeStruct((s, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((g,), jnp.int32)],
+        interpret=interpret,
+    )(x0.astype(jnp.uint32), words_t, cdft, ctx_t)
+    return (jnp.swapaxes(syms_t, 0, 1), cons[:, 0], xfin)
+
+
 def _encode_kernel(syms_ref, cdft_ref, emit_ref, need_ref, xfin_ref, *,
                    g_streams, n_lanes, t_steps, prec):
     """One grid step: encode t_steps symbols for g_streams streams.

@@ -34,23 +34,30 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     return 10.0 * np.log10(peak * peak / mse)
 
 
-def _pad_to_16(img: np.ndarray) -> np.ndarray:
+def _pad_to_16(img: np.ndarray, mult: int = 16) -> np.ndarray:
     x, y, _ = img.shape
-    px, py = (-x) % 16, (-y) % 16
+    px, py = (-x) % mult, (-y) % mult
     return np.pad(img, ((0, px), (0, py), (0, 0)), mode="edge")
 
 
-def eval_int_codec(images: List[np.ndarray], params) -> Dict[str, float]:
+def eval_int_codec(images: List[np.ndarray], params,
+                   static_cdfs=None) -> Dict[str, float]:
     """The bit-exact integer codec: reconstruction quality is set by the
-    autoencoder; the bitstream is the lossless-coded latent."""
+    autoencoder; the bitstream is the lossless-coded latent.
+
+    With ``static_cdfs`` (the production serving mode) the model-shipped
+    tables are used and bitstreams carry none; otherwise per-image
+    histogram tables are fit and embedded (2*C*L bytes each — dominant
+    for small images)."""
     rows = []
     for img in images:
         padded = _pad_to_16(img)
         x = jnp.asarray(padded[None].view(np.int8))
         cfg = (REFERENCE_NET if padded.shape[:2] == (768, 512)
                else reference_net_for_input(*padded.shape[:2]))
-        data = int_codec.compress(params, x, cfg)
-        x_hat, _ = int_codec.decompress(params, data)
+        data = int_codec.compress(params, x, cfg, static_cdfs=static_cdfs)
+        x_hat, _ = int_codec.decompress(params, data,
+                                        static_cdfs=static_cdfs)
         recon = np.asarray(x_hat)[0, :img.shape[0], :img.shape[1]]
         # wire: int8 output is the low 8 bits; compare as uint8 magnitudes
         rows.append({
@@ -67,7 +74,9 @@ def eval_int_codec(images: List[np.ndarray], params) -> Dict[str, float]:
 def eval_hyper_codec(images: List[np.ndarray], codec) -> Dict[str, float]:
     rows = []
     for img in images:
-        padded = _pad_to_16(img)
+        # hyper codecs need /64 dims: g_a downsamples 16x and h_a another
+        # 4x, and h_s's 4x upsample must reproduce y's grid exactly
+        padded = _pad_to_16(img, mult=64)
         x = jnp.asarray(padded[None].astype(np.float32) / 255.0)
         data = codec.compress(x)
         x_hat, _ = codec.decompress(data)
@@ -106,7 +115,10 @@ def main(argv=None):
         ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                             "checkpoints", "reference_weights.npz")
         params = weights_io.load_checkpoint(ckpt)
-        res = eval_int_codec(images, params)
+        cdfs_path = os.path.join(os.path.dirname(ckpt), "latent_cdfs.npz")
+        static_cdfs = (np.load(cdfs_path)["cdfs"]
+                       if os.path.exists(cdfs_path) else None)
+        res = eval_int_codec(images, params, static_cdfs=static_cdfs)
     else:
         from . import train
         from .codec.hyper_codec import HyperCodec, MeanScaleCodec

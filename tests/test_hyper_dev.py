@@ -133,3 +133,30 @@ def test_device_escape_side_channel(rng):
     raw, _ = escape.unpack_raw(raw_b)
     back = escape.from_symbols(np.asarray(syms).reshape(-1), raw, 127)
     np.testing.assert_array_equal(back, vals.ravel())
+
+
+def test_pallas_ctx_decode_matches_scan(rng):
+    """The per-step-context Pallas decode kernel == the scan decoder."""
+    from simple_image_compression_network_tpu.codec import (
+        device_rans, pallas_rans)
+    from simple_image_compression_network_tpu.codec.entropy import (
+        quantize_cdf)
+    n_rows, L = 16, 40
+    n_lanes, t_steps, s = 32, 12, 4
+    cdfs = np.stack([quantize_cdf(rng.dirichlet(np.ones(L) * 0.4))
+                     for _ in range(n_rows)])
+    ctx = rng.integers(0, n_rows, size=(s, t_steps, n_lanes)).astype(
+        np.int32)
+    syms = rng.integers(0, L, size=(s, t_steps, n_lanes)).astype(np.int32)
+    enc = jax.vmap(lambda sy, c: device_rans.encode(
+        sy, jnp.asarray(cdfs), c))
+    words, counts = enc(jnp.asarray(syms), jnp.asarray(ctx))
+    cap = int(np.asarray(counts).max())
+    w16 = jnp.asarray(np.asarray(words)[:, :cap].astype(np.uint16))
+    x0 = pallas_rans.split_init(w16, n_lanes)
+    p_syms, p_cons, p_xfin = pallas_rans.decode_ctx(
+        w16, x0, jnp.asarray(cdfs), jnp.asarray(ctx), t_steps=t_steps,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(p_syms), syms)
+    np.testing.assert_array_equal(np.asarray(p_cons), np.asarray(counts))
+    assert (np.asarray(p_xfin) == 1 << 16).all()
