@@ -76,24 +76,46 @@ def _decode(data: bytes, n: int, ctx: np.ndarray, cdfs: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _ctx_encode_impl(n_lanes: int) -> str:
+    """Engine for the device encode: the compact Pallas kernel on TPU for
+    vector-aligned lane counts, else lax.scan.  SICN_RANS_IMPL overrides."""
+    import os as _os
+    forced = _os.environ.get("SICN_RANS_IMPL")
+    if forced:
+        return forced
+    if jax.default_backend() == "tpu" and n_lanes % 128 == 0:
+        return "pallas"
+    return "scan"
+
+
 @functools.partial(jax.jit, static_argnames=("t_steps", "n_lanes",
-                                             "n_streams", "max_abs"))
+                                             "n_streams", "max_abs",
+                                             "impl", "cap"))
 def _dev_encode(vals: jax.Array, ctx: jax.Array | None, cdfs: jax.Array, *,
-                t_steps: int, n_lanes: int, n_streams: int, max_abs: int):
+                t_steps: int, n_lanes: int, n_streams: int, max_abs: int,
+                impl: str = "scan", cap: int = 0):
     """(B, P, C) centered ints -> per-stream word buffers, on device.
 
     ctx: (B, P, C) int32 CDF-row indices (None = fixed per-lane rows,
     cdfs pre-gathered to (N, L+1)).  Returns (words u16, counts, escapes
-    per image) — the only host fetches the caller needs.
+    per image) — the only host fetches the caller needs.  With
+    impl="pallas" the compact kernel caps payloads at ``cap`` words;
+    callers must re-encode with impl="scan" when counts exceed it.
     """
     b = vals.shape[0]
     syms = escape.to_symbols(vals, max_abs)
     syms = syms.reshape(b * n_streams, t_steps, n_lanes)
-    if ctx is None:
+    ctx_r = (None if ctx is None
+             else ctx.reshape(b * n_streams, t_steps, n_lanes))
+    if impl.startswith("pallas"):
+        from . import pallas_rans
+        words, counts = pallas_rans.encode_batch_compact(
+            syms, cdfs, ctx_r, cap_words=cap,
+            interpret=impl.endswith("interpret"))
+    elif ctx_r is None:
         enc = jax.vmap(lambda s: device_rans.encode(s, cdfs, None))
         words, counts = enc(syms)
     else:
-        ctx_r = ctx.reshape(b * n_streams, t_steps, n_lanes)
         enc = jax.vmap(lambda s, c: device_rans.encode(s, cdfs, c))
         words, counts = enc(syms, ctx_r)
     n_esc = jnp.sum(jnp.abs(vals.astype(jnp.int32)) > max_abs,
@@ -270,16 +292,36 @@ class HyperCodec:
         y_cdfs = jnp.asarray(self.y_cdfs_dev)
         ctx_y = self._scale_ctx(sigma)
 
-        zw, zcnt, z_esc = _dev_encode(
-            z.reshape(b, zx * zy, zc), None, z_lane_cdf,
-            t_steps=t_z, n_lanes=nl_z, n_streams=s_z, max_abs=_Z_MAX)
-        yw, ycnt, y_esc = _dev_encode(
-            y.reshape(b, yx * yy, yc), ctx_y.reshape(b, yx * yy, yc),
-            y_cdfs, t_steps=t_y, n_lanes=nl_y, n_streams=s_y,
-            max_abs=_Y_MAX_DEV)
+        def encode_tensor(vals, ctx, cdfs, t_steps, n_lanes, n_streams,
+                          max_abs):
+            """Pallas compact encode with scan fallback on cap overflow."""
+            from . import pallas_rans
+            impl = _ctx_encode_impl(n_lanes)
+            cap = (pallas_rans.default_encode_cap(t_steps, n_lanes)
+                   if impl.startswith("pallas") else 0)
+            w, cnt, esc = _dev_encode(
+                vals, ctx, cdfs, t_steps=t_steps, n_lanes=n_lanes,
+                n_streams=n_streams, max_abs=max_abs, impl=impl, cap=cap)
+            cnt_np = np.asarray(cnt)
+            if impl.startswith("pallas") and (
+                    cnt_np.max() > 2 * n_lanes + cap):
+                w, cnt, esc = _dev_encode(
+                    vals, ctx, cdfs, t_steps=t_steps, n_lanes=n_lanes,
+                    n_streams=n_streams, max_abs=max_abs, impl="scan")
+                cnt_np = np.asarray(cnt)
+            return w, cnt_np, esc
 
-        zw_np, zcnt_np = _fetch_streams(zw, zcnt, t_z * nl_z, nl_z)
-        yw_np, ycnt_np = _fetch_streams(yw, ycnt, t_y * nl_y, nl_y)
+        zw, zcnt_np, z_esc = encode_tensor(
+            z.reshape(b, zx * zy, zc), None, z_lane_cdf, t_z, nl_z, s_z,
+            _Z_MAX)
+        yw, ycnt_np, y_esc = encode_tensor(
+            y.reshape(b, yx * yy, yc), ctx_y.reshape(b, yx * yy, yc),
+            y_cdfs, t_y, nl_y, s_y, _Y_MAX_DEV)
+
+        zw_np, zcnt_np = _fetch_streams(zw, jnp.asarray(zcnt_np),
+                                        t_z * nl_z, nl_z)
+        yw_np, ycnt_np = _fetch_streams(yw, jnp.asarray(ycnt_np),
+                                        t_y * nl_y, nl_y)
         # escapes are the tables' ~2^-16 overflow mass: fetch raw values
         # only for images that actually have any
         z_esc_np, y_esc_np = np.asarray(z_esc), np.asarray(y_esc)

@@ -470,6 +470,28 @@ def _encode_compact_kernel(syms_ref, cdft_ref, words_any, cnt_ref, xfin_ref,
     counting: the caller detects count > cap and falls back to the XLA
     assembly path.  Bytes are bit-identical to the scan encoder.
     """
+    _compact_encode_body(syms_ref, cdft_ref, None, words_any, cnt_ref,
+                         xfin_ref, emit_s, need_s, stage, pos_smem, sem,
+                         g_streams=g_streams, n_lanes=n_lanes,
+                         t_steps=t_steps, prec=prec, cap=cap)
+
+
+def _encode_compact_ctx_kernel(syms_ref, cdft_ref, ctx_ref, words_any,
+                               cnt_ref, xfin_ref, emit_s, need_s, stage,
+                               pos_smem, sem, *, g_streams, n_lanes,
+                               t_steps, prec, cap):
+    """Per-symbol-context variant: cdft_ref is the transposed shared
+    (L+1, R) table and ctx_ref (t, G, N) selects each symbol's row (the
+    hyperprior y path).  Same two-pass structure."""
+    _compact_encode_body(syms_ref, cdft_ref, ctx_ref, words_any, cnt_ref,
+                         xfin_ref, emit_s, need_s, stage, pos_smem, sem,
+                         g_streams=g_streams, n_lanes=n_lanes,
+                         t_steps=t_steps, prec=prec, cap=cap)
+
+
+def _compact_encode_body(syms_ref, cdft_ref, ctx_ref, words_any, cnt_ref,
+                         xfin_ref, emit_s, need_s, stage, pos_smem, sem, *,
+                         g_streams, n_lanes, t_steps, prec, cap):
     i = pl.program_id(0)
     lb = jnp.uint32(ilrans.STATE_LB)
     mask16 = jnp.uint32(0xFFFF)
@@ -478,13 +500,28 @@ def _encode_compact_kernel(syms_ref, cdft_ref, words_any, cnt_ref, xfin_ref,
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 1)
     tri = (k_iota < j_iota).astype(jnp.float32)
+    if ctx_ref is not None:
+        n_rows = cdft_ref.shape[1]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_lanes), 0)
+        cdft_f = cdft_ref[:, :].astype(jnp.float32)
+
+    def rows_of(t, g):
+        """Per-lane CDF rows (L+1, N) for stream g at step t."""
+        if ctx_ref is None:
+            return cdft_ref[:, :]
+        ctx_t = ctx_ref[pl.ds(t, 1)][0]                    # (G, N)
+        oh_r = (r_iota == ctx_t[g:g + 1, :]).astype(jnp.float32)
+        # Precision.HIGHEST: default bf16 MXU passes round table values
+        return jnp.dot(cdft_f, oh_r, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST
+                       ).astype(jnp.int32)
 
     def step1(it, x):
         t = t_steps - 1 - it
         sym = syms_ref[pl.ds(t, 1)][0]                     # (G, N)
-        cdf_rows = cdft_ref[:, :]
         starts, ends = [], []
         for g in range(g_streams):
+            cdf_rows = rows_of(t, g)
             oh_s = l_iota == sym[g:g + 1, :]
             oh_e = l_iota == sym[g:g + 1, :] + 1
             starts.append(jnp.sum(jnp.where(oh_s, cdf_rows, 0), axis=0,
@@ -556,17 +593,21 @@ def default_encode_cap(t_steps: int, n_lanes: int,
 
 @functools.partial(jax.jit, static_argnames=("cap_words", "prec",
                                              "g_streams", "interpret"))
-def encode_batch_compact(syms: jax.Array, lane_cdf: jax.Array, *,
+def encode_batch_compact(syms: jax.Array, lane_cdf: jax.Array,
+                         ctx: jax.Array | None = None, *,
                          cap_words: int, prec: int = 16, g_streams: int = 8,
                          interpret: bool = False
                          ) -> Tuple[jax.Array, jax.Array]:
     """Fully on-device encode: state loop AND stream compaction in-kernel.
 
+    With ``ctx`` (S, t_steps, N), ``lane_cdf`` is the shared (R, L+1)
+    context table and each symbol's row is selected per step (the
+    hyperprior path); without, it is the fixed (N, L+1) per-lane table.
     Returns (words (S, 2N + cap_words + N) u32, counts (S,) i32) where
     words[s, :counts[s]] is the stream (flush header + payload),
     bit-identical to the scan encoder — PROVIDED the payload fits:
     any stream with counts[s] > 2N + cap_words was truncated and must be
-    re-encoded via ``encode_batch`` (the caller's fallback).
+    re-encoded via the scan path (the caller's fallback).
     """
     s, t_steps, n_lanes = syms.shape
     g = min(g_streams, s)
@@ -576,18 +617,29 @@ def encode_batch_compact(syms: jax.Array, lane_cdf: jax.Array, *,
     n_sym = lane_cdf.shape[1] - 1
     syms_t = jnp.swapaxes(syms.astype(jnp.int32), 0, 1)    # (t, S, N)
     cdft = jnp.swapaxes(lane_cdf.astype(jnp.int32), 0, 1)
-    kernel = functools.partial(_encode_compact_kernel, g_streams=g,
-                               n_lanes=n_lanes, t_steps=t_steps, prec=prec,
-                               cap=cap_words)
+    if ctx is None:
+        kernel = functools.partial(_encode_compact_kernel, g_streams=g,
+                                   n_lanes=n_lanes, t_steps=t_steps,
+                                   prec=prec, cap=cap_words)
+        extra_in, extra_specs = [], []
+    else:
+        kernel = functools.partial(_encode_compact_ctx_kernel, g_streams=g,
+                                   n_lanes=n_lanes, t_steps=t_steps,
+                                   prec=prec, cap=cap_words)
+        extra_in = [jnp.swapaxes(ctx.astype(jnp.int32), 0, 1)]
+        extra_specs = [pl.BlockSpec((t_steps, g, n_lanes),
+                                    lambda i: (0, i, 0),
+                                    memory_space=pltpu.VMEM)]
     words_t, cnt, xfin = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((t_steps, g, n_lanes), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),         # syms_t
-            pl.BlockSpec((n_sym + 1, n_lanes), lambda i: (0, 0),
+            pl.BlockSpec((n_sym + 1, n_lanes if ctx is None
+                          else lane_cdf.shape[0]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),         # cdft
-        ],
+        ] + extra_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # words (HBM)
             pl.BlockSpec((g, 1), lambda i: (i, 0),
@@ -609,7 +661,7 @@ def encode_batch_compact(syms: jax.Array, lane_cdf: jax.Array, *,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(syms_t, cdft)
+    )(syms_t, cdft, *extra_in)
     payload = jnp.swapaxes(words_t[:, :, :g], 1, 2
                            ).reshape(s, cap_words + n_lanes)
     hdr = jnp.stack([xfin >> 16, xfin & jnp.uint32(0xFFFF)],

@@ -156,3 +156,58 @@ def test_pallas_encode_compact_overflow_detected(case):
         sy, jnp.asarray(lane_cdf), interpret=True)
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(s_counts))
     assert (np.asarray(counts) > 2 * n_lanes + tiny).any()
+
+
+def test_compress_batch_encode_overflow_fallback(monkeypatch):
+    """When the compact encode kernel's staging cap is too small for the
+    content, compress_batch must transparently re-encode on the scan
+    engine and still produce decodable, bit-exact containers."""
+    import os
+    import jax.numpy as jnp2
+    from simple_image_compression_network_tpu.codec import (int_codec,
+                                                            pallas_rans)
+    from simple_image_compression_network_tpu.config import (
+        reference_net_for_input)
+    from simple_image_compression_network_tpu.models import codec_int
+    from simple_image_compression_network_tpu.utils import weights_io
+    monkeypatch.setenv("SICN_RANS_IMPL", "pallas_interpret")
+    # force a staging cap far below any real payload
+    monkeypatch.setattr(pallas_rans, "default_encode_cap",
+                        lambda t, n, vmem_limit=0: 64)
+    ckpt = os.path.join(os.path.dirname(__file__), "..",
+                        "checkpoints", "reference_weights.npz")
+    params = weights_io.load_checkpoint(ckpt)
+    rng = np.random.default_rng(5)
+    cfg = reference_net_for_input(96, 64)
+    x = jnp2.asarray(rng.integers(0, 256, size=(1, 96, 64, 3),
+                                  dtype=np.uint8).view(np.int8))
+    cdfs = int_codec.build_static_cdfs(params, [x], cfg)
+    data = int_codec.compress(params, x, cfg, static_cdfs=cdfs,
+                              coder="device")
+    x_hat, _ = int_codec.decompress(params, data, static_cdfs=cdfs,
+                                    coder="device")
+    direct = codec_int.eight_layers_net(params, x, cfg)
+    np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(direct))
+
+
+def test_pallas_encode_compact_ctx_matches_golden(rng):
+    """Compact encode kernel with per-symbol contexts == golden ilrans."""
+    from simple_image_compression_network_tpu.codec import entropy
+    n_rows, L = 16, 40
+    n_lanes, t_steps, s = 32, 12, 4
+    cdfs = np.stack([entropy.quantize_cdf(rng.dirichlet(np.ones(L) * 0.4))
+                     for _ in range(n_rows)])
+    ctx = rng.integers(0, n_rows, size=(s, t_steps, n_lanes)).astype(
+        np.int32)
+    syms = rng.integers(0, L, size=(s, t_steps, n_lanes)).astype(np.int32)
+    words, counts = pallas_rans.encode_batch_compact(
+        jnp.asarray(syms), jnp.asarray(cdfs), jnp.asarray(ctx),
+        cap_words=1024, interpret=True)
+    counts_np = np.asarray(counts)
+    words_np = np.asarray(words)
+    for j in range(s):
+        golden = ilrans.encode(syms[j].ravel(), ctx[j].ravel(), cdfs,
+                               n_lanes=n_lanes)
+        off = ilrans.unpack_header(golden)[3]
+        got = words_np[j, : counts_np[j]].astype("<u2").tobytes()
+        assert got == golden[off:], f"stream {j}"
