@@ -292,39 +292,53 @@ class HyperCodec:
         y_cdfs = jnp.asarray(self.y_cdfs_dev)
         ctx_y = self._scale_ctx(sigma)
 
+        from . import pallas_rans
+
         def encode_tensor(vals, ctx, cdfs, t_steps, n_lanes, n_streams,
                           max_abs):
-            """Pallas compact encode with scan fallback on cap overflow."""
-            from . import pallas_rans
             impl = _ctx_encode_impl(n_lanes)
             cap = (pallas_rans.default_encode_cap(t_steps, n_lanes)
                    if impl.startswith("pallas") else 0)
             w, cnt, esc = _dev_encode(
                 vals, ctx, cdfs, t_steps=t_steps, n_lanes=n_lanes,
                 n_streams=n_streams, max_abs=max_abs, impl=impl, cap=cap)
-            cnt_np = np.asarray(cnt)
-            if impl.startswith("pallas") and (
-                    cnt_np.max() > 2 * n_lanes + cap):
-                w, cnt, esc = _dev_encode(
-                    vals, ctx, cdfs, t_steps=t_steps, n_lanes=n_lanes,
-                    n_streams=n_streams, max_abs=max_abs, impl="scan")
-                cnt_np = np.asarray(cnt)
-            return w, cnt_np, esc
+            return w, cnt, esc, impl, cap
 
-        zw, zcnt_np, z_esc = encode_tensor(
+        zw, zcnt, z_esc, z_impl, z_cap = encode_tensor(
             z.reshape(b, zx * zy, zc), None, z_lane_cdf, t_z, nl_z, s_z,
             _Z_MAX)
-        yw, ycnt_np, y_esc = encode_tensor(
+        yw, ycnt, y_esc, y_impl, y_cap = encode_tensor(
             y.reshape(b, yx * yy, yc), ctx_y.reshape(b, yx * yy, yc),
             y_cdfs, t_y, nl_y, s_y, _Y_MAX_DEV)
 
-        zw_np, zcnt_np = _fetch_streams(zw, jnp.asarray(zcnt_np),
-                                        t_z * nl_z, nl_z)
-        yw_np, ycnt_np = _fetch_streams(yw, jnp.asarray(ycnt_np),
-                                        t_y * nl_y, nl_y)
+        # one combined metadata fetch: every host<->device round trip over
+        # the link costs a full RTT, so counts + escape totals come back
+        # as a single vector
+        meta = np.asarray(jnp.concatenate([
+            zcnt.astype(jnp.int32), ycnt.astype(jnp.int32),
+            z_esc.astype(jnp.int32), y_esc.astype(jnp.int32)]))
+        zcnt_np = meta[: b * s_z]
+        ycnt_np = meta[b * s_z: b * (s_z + s_y)]
+        z_esc_np = meta[b * (s_z + s_y): b * (s_z + s_y) + b]
+        y_esc_np = meta[b * (s_z + s_y) + b:]
+        # rare overflow of the compact kernel's staging cap: re-encode on
+        # the unbounded scan engine
+        if z_impl.startswith("pallas") and zcnt_np.max() > 2 * nl_z + z_cap:
+            zw, zcnt, _ = _dev_encode(
+                z.reshape(b, zx * zy, zc), None, z_lane_cdf, t_steps=t_z,
+                n_lanes=nl_z, n_streams=s_z, max_abs=_Z_MAX, impl="scan")
+            zcnt_np = np.asarray(zcnt)
+        if y_impl.startswith("pallas") and ycnt_np.max() > 2 * nl_y + y_cap:
+            yw, ycnt, _ = _dev_encode(
+                y.reshape(b, yx * yy, yc), ctx_y.reshape(b, yx * yy, yc),
+                y_cdfs, t_steps=t_y, n_lanes=nl_y, n_streams=s_y,
+                max_abs=_Y_MAX_DEV, impl="scan")
+            ycnt_np = np.asarray(ycnt)
+
+        zw_np, zcnt_np = _fetch_streams(zw, zcnt_np, t_z * nl_z, nl_z)
+        yw_np, ycnt_np = _fetch_streams(yw, ycnt_np, t_y * nl_y, nl_y)
         # escapes are the tables' ~2^-16 overflow mass: fetch raw values
         # only for images that actually have any
-        z_esc_np, y_esc_np = np.asarray(z_esc), np.asarray(y_esc)
         z_np = np.asarray(z) if z_esc_np.any() else None
         y_np = np.asarray(y) if y_esc_np.any() else None
 
@@ -377,8 +391,9 @@ class HyperCodec:
         z_syms, z_ok = int_codec._device_decode_batch(
             z_words.astype(jnp.uint16), z_counts, z_lane_cdf, t_steps=t_z,
             impl=int_codec._decode_impl(nl_z, z_cap))
-        if not bool(np.asarray(z_ok).all()):
-            raise ValueError("corrupt hyper-latent stream")
+        # validity is checked ONCE for both tensors at the end: the y
+        # decode needs only device-resident z_hat, so no host round trip
+        # has to sit between the two stages
         z_vals = z_syms.astype(jnp.int32).reshape(b, zx, zy, zc) - _Z_MAX
         if any(escape.unpack_raw(m[3])[0].size for m in metas):
             zs = np.asarray(z_vals) + _Z_MAX  # back to symbol space
@@ -396,7 +411,10 @@ class HyperCodec:
         y_syms, y_ok = _dev_decode_ctx(
             y_words, y_counts, jnp.asarray(self.y_cdfs_dev), ctx_y,
             t_steps=t_y, impl=_ctx_decode_impl(nl_y, y_cap))
-        if not bool(np.asarray(y_ok).all()):
+        ok = np.asarray(jnp.concatenate([z_ok.ravel(), y_ok.ravel()]))
+        if not ok[: z_ok.size].all():
+            raise ValueError("corrupt hyper-latent stream")
+        if not ok[z_ok.size:].all():
             raise ValueError("corrupt latent stream")
         y_vals = (y_syms.astype(jnp.int32).reshape(b, yx, yy, yc)
                   - _Y_MAX_DEV)
