@@ -93,6 +93,19 @@ def main():
           bool((np.asarray(sy_p) == np.asarray(sy_s)).all())
           and bool(np.asarray(ok_s).all()))
 
+    # 2b. spatially-sharded net on a 1-device mesh, on hardware: the
+    # sharded path's kernels compile under shard_map with their own
+    # lowering (VALID halo modes) that CPU tests only cover via the XLA
+    # fallback
+    from jax.sharding import Mesh
+    from simple_image_compression_network_tpu.parallel import spatial
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("x",))
+    xs1 = spatial.shard_image(x, mesh1)
+    sh = jax.jit(lambda p, v: spatial.eight_layers_net_sharded(
+        p, v, mesh1))(params, xs1)
+    check("sharded net (1-dev mesh, shard_map kernels) == plain net",
+          bool((np.asarray(sh) == np.asarray(tuned)).all()))
+
     # 3b. per-symbol-context coder pair (hyperprior y path) on hardware:
     # catches silent bf16 matmul rounding in the one-hot CDF-row
     # expansion (default MXU precision loses table bits; round-3 bug)

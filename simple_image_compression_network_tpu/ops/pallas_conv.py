@@ -386,7 +386,9 @@ def _sparse_call(xp, w_taps, bias_row, *, b, xo, yp, cp, n_blocks, blk_n,
 
 
 def conv2d_int8_pallas3(x: jax.Array, w: jax.Array, bias: jax.Array, *,
-                        tx: int = 8, interpret: bool = False) -> jax.Array:
+                        tx: int = 8, x_valid: bool = False,
+                        y_valid: bool = False,
+                        interpret: bool = False) -> jax.Array:
     """Reference conv2d layer (k5/s2/p2): s2d + block-sparse tap kernel.
 
     Skips the 11 structurally-zero tap blocks of the s2d rewrite (30%
@@ -394,14 +396,40 @@ def conv2d_int8_pallas3(x: jax.Array, w: jax.Array, bias: jax.Array, *,
     channel count to be a multiple of 128 (lane-aligned phase blocks);
     falls back to the dense flat kernel otherwise.  Bit-identical to
     every other conv2d lowering.
+
+    With ``x_valid``/``y_valid`` the input already carries a 2-pixel
+    halo on that axis (the spatially sharded net's ppermute exchange)
+    and the conv is VALID there: output extent = (dim - 4) / 2.
     """
     ci = x.shape[-1]
     if (not interpret and not _tpu_available()) or ci % 128:
+        if x_valid or y_valid:
+            from .conv_int import DIMNUMS, bias_relu_epilogue
+            from jax import lax
+            acc = lax.conv_general_dilated(
+                x.astype(jnp.int8),
+                jnp.transpose(w.astype(jnp.int8), (1, 2, 3, 0)), (2, 2),
+                [(0, 0) if x_valid else (2, 2),
+                 (0, 0) if y_valid else (2, 2)],
+                dimension_numbers=DIMNUMS, preferred_element_type=jnp.int32)
+            return bias_relu_epilogue(acc, bias)
         return conv2d_int8_pallas2(x, w, bias, tx=tx, interpret=interpret)
     b, xd, yd, _ = x.shape
     cout = w.shape[0]
-    xo, yo = xd // 2, yd // 2
+    vx, vy = xd // 2, yd // 2                 # s2d extents
+    xo = vx - 2 if x_valid else vx            # output extents
+    yo = vy - 2 if y_valid else vy
     if xo % 8:
+        if x_valid or y_valid:
+            from .conv_int import DIMNUMS, bias_relu_epilogue
+            from jax import lax
+            acc = lax.conv_general_dilated(
+                x.astype(jnp.int8),
+                jnp.transpose(w.astype(jnp.int8), (1, 2, 3, 0)), (2, 2),
+                [(0, 0) if x_valid else (2, 2),
+                 (0, 0) if y_valid else (2, 2)],
+                dimension_numbers=DIMNUMS, preferred_element_type=jnp.int32)
+            return bias_relu_epilogue(acc, bias)
         return conv2d_int8_pallas2(x, w, bias, tx=tx, interpret=interpret)
     tx = max(8, tx)
     while xo % tx:
@@ -409,9 +437,13 @@ def conv2d_int8_pallas3(x: jax.Array, w: jax.Array, bias: jax.Array, *,
     cp = 4 * ci
     coutp = _round_up(cout, 128)
     yp = _round_up(yo + 2, 8)
-    # flat s2d slab with halo 1 (SAME padding of the 3x3 rewrite)
+    # flat s2d slab with halo 1 (SAME padding of the 3x3 rewrite, unless
+    # the input already carries it: a 2-px original halo == 1 s2d row)
     xs = conv_fast.space_to_depth(x.astype(jnp.int8))
-    xp = jnp.pad(xs, ((0, 0), (1, 2), (1, yp - yo - 1),
+    x_lo = 0 if x_valid else 1
+    y_lo = 0 if y_valid else 1
+    xp = jnp.pad(xs, ((0, 0), (x_lo, xo + 3 - vx - x_lo),
+                      (y_lo, yp - vy - y_lo),
                       (0, 0))).reshape(b, (xo + 3) * yp, cp)
     # 25 real taps: W3[mx,my,(a,b)] nonzero iff 2mx+a < 5 and 2my+b < 5
     taps = []
@@ -440,28 +472,52 @@ def conv2d_int8_pallas3(x: jax.Array, w: jax.Array, bias: jax.Array, *,
 
 
 def deconv2d_int8_pallas3(x: jax.Array, w: jax.Array, bias: jax.Array, *,
-                          tx: int = 8, interpret: bool = False) -> jax.Array:
+                          tx: int = 8, x_valid: bool = False,
+                          y_valid: bool = False,
+                          interpret: bool = False) -> jax.Array:
     """Reference deconv522 layer: block-sparse d2s kernel + depth-to-space.
 
     One accumulator per output phase (9/6/6/4 taps — 25 GEMMs instead of
     36 dense blocks).  Requires the output channel count to be a multiple
     of 128; falls back to the dense kernels otherwise (e.g. the RGB
     output layer).  Bit-identical to every other deconv lowering.
+
+    With ``x_valid``/``y_valid`` the input carries a 1-pixel halo on
+    that axis (sharded-net form): output extent = 2 * (dim - 2).
     """
     o = w.shape[0]
     if (not interpret and not _tpu_available()) or o % 128:
+        if x_valid or y_valid:
+            # XLA fallback handles every geometry, including valid halos
+            w3 = conv_fast.deconv_weights_d2s(w)
+            y = _conv3x3_xla(
+                x.astype(jnp.int8), w3,
+                jnp.tile(bias.reshape(1, o), (4, 1)).reshape(4 * o),
+                x_valid=x_valid, y_valid=y_valid)
+            return conv_fast.depth_to_space(y)
         return deconv2d_int8_pallas(x, w, bias, tx=tx, interpret=interpret)
     b, xd, yd, ci = x.shape
-    xo, yo = xd, yd
+    xo = xd - 2 if x_valid else xd
+    yo = yd - 2 if y_valid else yd
     if xo % 8:
+        if x_valid or y_valid:
+            w3 = conv_fast.deconv_weights_d2s(w)
+            y = _conv3x3_xla(
+                x.astype(jnp.int8), w3,
+                jnp.tile(bias.reshape(1, o), (4, 1)).reshape(4 * o),
+                x_valid=x_valid, y_valid=y_valid)
+            return conv_fast.depth_to_space(y)
         return deconv2d_int8_pallas(x, w, bias, tx=tx, interpret=interpret)
     tx = max(8, tx)
     while xo % tx:
         tx -= 8
     cp = _round_up(ci, 128)   # lane-align the contraction (zeros are inert)
     yp = _round_up(yo + 2, 8)
+    x_lo = 0 if x_valid else 1
+    y_lo = 0 if y_valid else 1
     xp = jnp.pad(x.astype(jnp.int8),
-                 ((0, 0), (1, 2), (1, yp - yo - 1), (0, cp - ci))
+                 ((0, 0), (x_lo, xo + 3 - xd - x_lo),
+                  (y_lo, yp - yd - y_lo), (0, cp - ci))
                  ).reshape(b, (xo + 3) * yp, cp)
     # output phase (px,py) taps: kx ≡ (2-px) mod 2, offset d=(px+kx-2)/2
     # (deconv_weights_d2s geometry, conv_nonsquare_top.cpp:94-156)

@@ -83,7 +83,11 @@ def _conv_local(h: jax.Array, w: jax.Array, b: jax.Array, impl: str,
     implementation it names ("laxf32" etc. are single-chip-only)."""
     assert impl in ("pallas", "pallas2", "pallas3", "s2d", "gemm", "lax"), (
         f"unsupported sharded conv impl {impl!r}")
-    if impl in ("pallas", "pallas2", "pallas3", "s2d", "gemm"):
+    if impl == "pallas3":
+        hx = _halo_or_pad(_halo_or_pad(h, 2, ax, 1), 2, ay, 2)
+        return pallas_conv.conv2d_int8_pallas3(hx, w, b, x_valid=True,
+                                               y_valid=True)
+    if impl in ("pallas", "pallas2", "s2d", "gemm"):
         hx = _halo_or_pad(_halo_or_pad(h, 2, ax, 1), 2, ay, 2)
         xs = conv_fast.space_to_depth(hx.astype(jnp.int8))
         w3 = conv_fast.conv_weights_s2d(w)
@@ -102,6 +106,9 @@ def _deconv_local(h: jax.Array, w: jax.Array, b: jax.Array, impl: str,
                   ax: Optional[str], ay: Optional[str]) -> jax.Array:
     """One transposed-conv layer on a local tile: halo 1 + d2s 3x3 conv."""
     hx = _halo_or_pad(_halo_or_pad(h, 1, ax, 1), 1, ay, 2)
+    if impl == "pd2s3":
+        return pallas_conv.deconv2d_int8_pallas3(hx, w, b, x_valid=True,
+                                                 y_valid=True)
     w3 = conv_fast.deconv_weights_d2s(w)
     if impl.startswith("pd2s"):
         o = w.shape[0]

@@ -145,3 +145,28 @@ def test_deconv2d_pallas3_sparse_matches_golden(rng):
                                             jnp.asarray(w), jnp.asarray(b),
                                             interpret=True)
     np.testing.assert_array_equal(np.asarray(out), golden)
+
+
+def test_pallas3_valid_modes(rng):
+    """Sparse kernels with pre-haloed inputs (sharded-net form)."""
+    from simple_image_compression_network_tpu.ops import conv_int
+    # conv: input with 2-px halo on both axes; expect k5/s2 SAME == crop
+    x = rng.integers(0, 256, size=(2, 36, 28, 128), dtype=np.uint8)
+    w = rng.integers(-8, 8, size=(128, 5, 5, 128), dtype=np.int8)
+    b = rng.integers(-128, 128, size=(128,), dtype=np.int8)
+    full = integer.conv2d_golden(x, w, b)        # (2, 18, 14, 128)
+    got = pallas_conv.conv2d_int8_pallas3(
+        jnp.asarray(x.view(np.int8)), jnp.asarray(w), jnp.asarray(b),
+        x_valid=True, y_valid=True, interpret=True)
+    # the haloed input's interior (1 s2d row in) equals SAME-pad rows 1..-1
+    np.testing.assert_array_equal(np.asarray(got), full[:, 1:-1, 1:-1])
+
+    # deconv: 1-px halo input
+    xd = rng.integers(0, 128, size=(2, 18, 10, 128), dtype=np.uint8)
+    wd = rng.integers(-8, 8, size=(128, 5, 5, 128), dtype=np.int8)
+    bd = rng.integers(-128, 128, size=(128,), dtype=np.int8)
+    fulld = integer.deconv2d_golden(xd, wd, bd)  # (2, 36, 20, 128)
+    gotd = pallas_conv.deconv2d_int8_pallas3(
+        jnp.asarray(xd.view(np.int8)), jnp.asarray(wd), jnp.asarray(bd),
+        x_valid=True, y_valid=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gotd), fulld[:, 2:-2, 2:-2])
