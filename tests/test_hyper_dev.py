@@ -160,3 +160,31 @@ def test_pallas_ctx_decode_matches_scan(rng):
     np.testing.assert_array_equal(np.asarray(p_syms), syms)
     np.testing.assert_array_equal(np.asarray(p_cons), np.asarray(counts))
     assert (np.asarray(p_xfin) == 1 << 16).all()
+
+
+def test_device_roundtrip_with_forced_escapes(rng, monkeypatch):
+    """Shrinking the device alphabet forces real escapes through the
+    container path: symbols overflow to the side channel and the decoded
+    latents must still match the encoder's exactly."""
+    monkeypatch.setattr(hyper_codec, "_Y_MAX_DEV", 1)
+    monkeypatch.setattr(hyper_codec, "_Z_MAX", 1)
+    model, params, x = _mk(ScaleHyperprior, rng)
+    x = x * 9.0 - 4.0  # out-of-gamut input -> latents beyond +-1
+    codec = hyper_codec.HyperCodec(model, params)
+    # rebuild tables for the tiny alphabets
+    codec.z_cdfs = hyper_codec.build_factorized_cdfs(model, params,
+                                                     max_abs=1)
+    codec.y_cdfs_dev = hyper_codec.build_gaussian_cdfs(codec.scale_table,
+                                                       1)
+    blobs = codec.compress_batch(x)
+    # the containers must actually carry escapes
+    n_raw = 0
+    for blob in blobs:
+        _, (_, _, _, z_raw, y_raw) = container.unpack(blob)
+        n_raw += escape.unpack_raw(z_raw)[0].size
+        n_raw += escape.unpack_raw(y_raw)[0].size
+    assert n_raw > 0, "test should force at least one escape"
+    x_hat, y_hat = codec.decompress_batch(blobs)
+    ysym, _, mu, _ = codec._encode_dev_arrays(x)
+    expect = jnp.asarray(ysym, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y_hat), np.asarray(expect))
