@@ -264,6 +264,28 @@ def measure_hyper(args):
         x_hat, y_hat = dec()
     t_dec = (time.perf_counter() - t0) / args.codec_iters
 
+    # pipelined serving: overlap batch k's fetch/pack with k+1's device
+    # compute (codec/pipeline.py HyperPipelined*)
+    from simple_image_compression_network_tpu.codec import pipeline
+    n_pipe = max(4, args.codec_iters)
+    enc_p = pipeline.HyperPipelinedEncoder(codec, depth=2)
+    enc_p.submit(x)
+    enc_p.drain()
+    t0 = time.perf_counter()
+    for _ in range(n_pipe):
+        enc_p.submit(x)
+    piped = enc_p.drain()
+    t_enc_p = (time.perf_counter() - t0) / n_pipe
+    dec_p = pipeline.HyperPipelinedDecoder(codec, depth=2)
+    dec_p.submit(piped[-1])
+    dec_p.drain()
+    t0 = time.perf_counter()
+    for _ in range(n_pipe):
+        dec_p.submit(piped[-1])
+    outs = dec_p.drain()
+    np.asarray(outs[-1][0][0, 0, 0])
+    t_dec_p = (time.perf_counter() - t0) / n_pipe
+
     ysym, _, mu, _ = (list(codec._encode_dev_arrays(x)) + [None])[:4]
     expect = jnp.asarray(ysym, jnp.float32)
     exact = bool((np.asarray(y_hat) == np.asarray(expect)).all())
@@ -273,6 +295,8 @@ def measure_hyper(args):
     return {
         "hyper_encode_mps": round(mp / t_enc, 1),
         "hyper_decode_mps": round(mp / t_dec, 1),
+        "hyper_encode_pipelined_mps": round(mp / t_enc_p, 1),
+        "hyper_decode_pipelined_mps": round(mp / t_dec_p, 1),
         "hyper_bpp": round(8.0 * n_bytes / (b * 768 * 512), 3),
         "hyper_psnr_db": round(10.0 * np.log10(255.0 ** 2
                                                / max(mse, 1e-12)), 2),

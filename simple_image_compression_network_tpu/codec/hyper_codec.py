@@ -279,6 +279,15 @@ class HyperCodec:
         gathered per step.  Out-of-alphabet values escape to a raw side
         section (``codec/escape.py``); host work is container packing only.
         """
+        return self._compress_drain(self._compress_schedule(x))
+
+    def _compress_schedule(self, x: jax.Array) -> Tuple:
+        """Enqueue all device work for one batch; no host round trips.
+
+        Returns an opaque state consumed by ``_compress_drain`` — the
+        split lets a serving pipeline overlap batch k's fetch/pack with
+        batch k+1's device compute (``HyperPipelinedEncoder``).
+        """
         assert x.shape[1] % 64 == 0 and x.shape[2] % 64 == 0, (
             "hyperprior codecs need image dims divisible by 64")
         ysym_f, z_f, _mu, sigma = self._encode_dev_arrays(x)
@@ -310,7 +319,19 @@ class HyperCodec:
         yw, ycnt, y_esc, y_impl, y_cap = encode_tensor(
             y.reshape(b, yx * yy, yc), ctx_y.reshape(b, yx * yy, yc),
             y_cdfs, t_y, nl_y, s_y, _Y_MAX_DEV)
+        shapes = (x.shape[1], x.shape[2], b, zx, zy, zc, yx, yy, yc,
+                  s_z, nl_z, t_z, s_y, nl_y, t_y)
+        return (shapes, z, y, ctx_y, z_lane_cdf, y_cdfs,
+                zw, zcnt, z_esc, z_impl, z_cap,
+                yw, ycnt, y_esc, y_impl, y_cap)
 
+    def _compress_drain(self, state: Tuple) -> List[bytes]:
+        """Fetch + pack a scheduled batch's containers (host side)."""
+        (shapes, z, y, ctx_y, z_lane_cdf, y_cdfs,
+         zw, zcnt, z_esc, z_impl, z_cap,
+         yw, ycnt, y_esc, y_impl, y_cap) = state
+        (ix, iy, b, zx, zy, zc, yx, yy, yc,
+         s_z, nl_z, t_z, s_y, nl_y, t_y) = shapes
         # one combined metadata fetch: every host<->device round trip over
         # the link costs a full RTT, so counts + escape totals come back
         # as a single vector
@@ -342,8 +363,7 @@ class HyperCodec:
         z_np = np.asarray(z) if z_esc_np.any() else None
         y_np = np.asarray(y) if y_esc_np.any() else None
 
-        header = struct.pack("<HHHHHHHH", x.shape[1], x.shape[2],
-                             zx, zy, zc, yx, yy, yc)
+        header = struct.pack("<HHHHHHHH", ix, iy, zx, zy, zc, yx, yy, yc)
         out = []
         for i in range(b):
             z_raw = escape.pack_raw(
@@ -360,6 +380,22 @@ class HyperCodec:
     def decompress_batch(self, blobs: Sequence[bytes]
                          ) -> Tuple[jax.Array, jax.Array]:
         """B device-format containers -> (x_hat, y_hat), decoded on device."""
+        return self._decompress_drain(self._decompress_schedule(blobs))
+
+    def _decompress_drain(self, state: Tuple
+                          ) -> Tuple[jax.Array, jax.Array]:
+        """Validity fetch for a scheduled batch (one round trip)."""
+        x_hat, y_hat, z_ok, y_ok = state
+        ok = np.asarray(jnp.concatenate([z_ok.ravel(), y_ok.ravel()]))
+        if not ok[: z_ok.size].all():
+            raise ValueError("corrupt hyper-latent stream")
+        if not ok[z_ok.size:].all():
+            raise ValueError("corrupt latent stream")
+        return x_hat, y_hat
+
+    def _decompress_schedule(self, blobs: Sequence[bytes]) -> Tuple:
+        """Enqueue all device decode work; host work is byte unpacking
+        (plus escape patching for the rare containers that carry raws)."""
         from . import int_codec
         metas = []
         for data in blobs:
@@ -411,11 +447,6 @@ class HyperCodec:
         y_syms, y_ok = _dev_decode_ctx(
             y_words, y_counts, jnp.asarray(self.y_cdfs_dev), ctx_y,
             t_steps=t_y, impl=_ctx_decode_impl(nl_y, y_cap))
-        ok = np.asarray(jnp.concatenate([z_ok.ravel(), y_ok.ravel()]))
-        if not ok[: z_ok.size].all():
-            raise ValueError("corrupt hyper-latent stream")
-        if not ok[z_ok.size:].all():
-            raise ValueError("corrupt latent stream")
         y_vals = (y_syms.astype(jnp.int32).reshape(b, yx, yy, yc)
                   - _Y_MAX_DEV)
         if any(escape.unpack_raw(m[4])[0].size for m in metas):
@@ -430,7 +461,7 @@ class HyperCodec:
         if mu is not None:
             y_hat = y_hat + mu
         x_hat = self._decode_arrays(y_hat)
-        return x_hat, y_hat
+        return x_hat, y_hat, z_ok, y_ok
 
 
 class MeanScaleCodec(HyperCodec):

@@ -103,6 +103,69 @@ class PipelinedEncoder:
         return out
 
 
+class HyperPipelinedEncoder:
+    """Depth-bounded async pipeline over the device-format hyper codec.
+
+    ``submit`` runs the codec's schedule phase (pure device dispatch);
+    the drain phase (metadata fetch + container packing) happens up to
+    ``depth`` batches later, overlapping the next batch's transforms and
+    entropy kernels — the DATAFLOW/burst-DMA analog for configs 4-5.
+    """
+
+    def __init__(self, codec, *, depth: int = 2):
+        self.codec = codec
+        self.depth = depth
+        self._q: Deque[Tuple] = collections.deque()
+        self._out: Deque[List[bytes]] = collections.deque()
+
+    def submit(self, x: jax.Array) -> None:
+        self._q.append(self.codec._compress_schedule(x))
+        while len(self._q) > self.depth:
+            self._out.append(self.codec._compress_drain(self._q.popleft()))
+
+    def collect(self) -> Optional[List[bytes]]:
+        if not self._out and self._q:
+            self._out.append(self.codec._compress_drain(self._q.popleft()))
+        return self._out.popleft() if self._out else None
+
+    def drain(self) -> List[List[bytes]]:
+        while self._q:
+            self._out.append(self.codec._compress_drain(self._q.popleft()))
+        out = list(self._out)
+        self._out.clear()
+        return out
+
+
+class HyperPipelinedDecoder:
+    """Depth-bounded async pipeline: hyper containers -> reconstructions."""
+
+    def __init__(self, codec, *, depth: int = 2):
+        self.codec = codec
+        self.depth = depth
+        self._q: Deque[Tuple] = collections.deque()
+        self._out: Deque[Tuple[jax.Array, jax.Array]] = collections.deque()
+
+    def submit(self, blobs: Sequence[bytes]) -> None:
+        self._q.append(self.codec._decompress_schedule(blobs))
+        while len(self._q) > self.depth:
+            self._out.append(
+                self.codec._decompress_drain(self._q.popleft()))
+
+    def collect(self) -> Optional[Tuple[jax.Array, jax.Array]]:
+        if not self._out and self._q:
+            self._out.append(
+                self.codec._decompress_drain(self._q.popleft()))
+        return self._out.popleft() if self._out else None
+
+    def drain(self) -> List[Tuple[jax.Array, jax.Array]]:
+        while self._q:
+            self._out.append(
+                self.codec._decompress_drain(self._q.popleft()))
+        out = list(self._out)
+        self._out.clear()
+        return out
+
+
 class PipelinedDecoder:
     """Depth-bounded async bitstream->reconstruction pipeline."""
 

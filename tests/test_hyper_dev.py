@@ -188,3 +188,28 @@ def test_device_roundtrip_with_forced_escapes(rng, monkeypatch):
     ysym, _, mu, _ = codec._encode_dev_arrays(x)
     expect = jnp.asarray(ysym, jnp.float32)
     np.testing.assert_array_equal(np.asarray(y_hat), np.asarray(expect))
+
+
+def test_hyper_pipelined_matches_batch(rng):
+    """Pipelined hyper serving == compress_batch/decompress_batch bytes."""
+    from simple_image_compression_network_tpu.codec import pipeline
+    model, params, x = _mk(ScaleHyperprior, rng)
+    codec = hyper_codec.HyperCodec(model, params)
+    direct = codec.compress_batch(x)
+
+    enc = pipeline.HyperPipelinedEncoder(codec, depth=2)
+    for _ in range(3):
+        enc.submit(x)
+    outs = enc.drain()
+    assert len(outs) == 3
+    for blobs in outs:
+        assert blobs == direct
+
+    dec = pipeline.HyperPipelinedDecoder(codec, depth=2)
+    for _ in range(3):
+        dec.submit(direct)
+    recons = dec.drain()
+    x_hat, y_hat = codec.decompress_batch(direct)
+    for xr, yr in recons:
+        np.testing.assert_array_equal(np.asarray(xr), np.asarray(x_hat))
+        np.testing.assert_array_equal(np.asarray(yr), np.asarray(y_hat))
