@@ -217,7 +217,21 @@ def bytes_from_words(words: np.ndarray, count: int, n_syms: int,
                      n_lanes: int, prec: int = 16) -> bytes:
     """Device encode output -> ilrans container bytes (header + words)."""
     return (ilrans.pack_header(n_syms, n_lanes, prec)
-            + np.asarray(words[:count], np.uint32).astype("<u2").tobytes())
+            + np.ascontiguousarray(words[:count]).astype(
+                "<u2", copy=False).tobytes())
+
+
+def streams_from_words(words: np.ndarray, counts: np.ndarray, n_syms: int,
+                       n_lanes: int, prec: int = 16) -> list:
+    """Batched ``bytes_from_words``: (S, cap) words + (S,) counts -> S
+    ilrans streams.  The header is constant across streams, so it is
+    packed once; each stream is then a single memcpy slice."""
+    hdr = ilrans.pack_header(n_syms, n_lanes, prec)
+    w2 = np.ascontiguousarray(words).astype("<u2", copy=False)
+    mv = memoryview(w2).cast("B")
+    row = w2.shape[1] * 2
+    return [hdr + bytes(mv[i * row: i * row + 2 * int(counts[i])])
+            for i in range(w2.shape[0])]
 
 
 def decode_bytes(data: bytes, cdf: np.ndarray,

@@ -76,14 +76,21 @@ def _decode(data: bytes, n: int, ctx: np.ndarray, cdfs: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _ctx_encode_impl(n_lanes: int) -> str:
+def _ctx_encode_impl(n_lanes: int, t_steps: int | None = None,
+                     has_ctx: bool = False) -> str:
     """Engine for the device encode: the compact Pallas kernel on TPU for
-    vector-aligned lane counts, else lax.scan.  SICN_RANS_IMPL overrides."""
+    vector-aligned lane counts whose scratch fits VMEM
+    (``pallas_rans.encode_vmem_ok``), else lax.scan.  SICN_RANS_IMPL
+    overrides."""
     import os as _os
     forced = _os.environ.get("SICN_RANS_IMPL")
     if forced:
         return forced
     if jax.default_backend() == "tpu" and n_lanes % 128 == 0:
+        if t_steps is not None:
+            from . import pallas_rans
+            if not pallas_rans.encode_vmem_ok(t_steps, n_lanes, has_ctx):
+                return "scan"
         return "pallas"
     return "scan"
 
@@ -157,24 +164,6 @@ def _dev_decode_ctx(words: jax.Array, true_counts: jax.Array,
     return syms, ok
 
 
-def _fetch_streams(words: jax.Array, counts: jax.Array, n_syms: int,
-                   n_lanes: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Bucket + fetch encoded word buffers; -> (words_np, counts_np)."""
-    counts_np = np.asarray(counts)
-    mxb = min(device_rans.bucket_words(int(counts_np.max())),
-              words.shape[1])
-    return np.asarray(words[:, :mxb]), counts_np
-
-
-def _payload(words_np: np.ndarray, counts_np: np.ndarray, n_syms: int,
-             n_lanes: int, n_streams: int, image: int) -> bytes:
-    lo = image * n_streams
-    chunks = [device_rans.bytes_from_words(
-        words_np[lo + j], int(counts_np[lo + j]), n_syms, n_lanes)
-        for j in range(n_streams)]
-    return _pack_streams(chunks)
-
-
 def _plan_lanes(n_pix: int, channels: int, lane_mult: int = 2,
                 n_streams: int = 8) -> Tuple[int, int, int]:
     """-> (n_streams, n_lanes, t_steps) for a (P, C) channel-fastest latent."""
@@ -195,17 +184,31 @@ class HyperCodec:
         self.y_cdfs_dev = build_gaussian_cdfs(self.scale_table, _Y_MAX_DEV)
         self._encode_arrays = jax.jit(
             lambda x: model.apply(params, x, method=model.encode_arrays))
+        self._analysis_arrays = jax.jit(
+            lambda x: model.apply(params, x, method=model.analysis_arrays))
         self._decode_arrays = jax.jit(
             lambda y: model.apply(params, y, method=model.decode_arrays))
+        self._round = jax.jit(jnp.round)
+        self._center = jax.jit(lambda y, mu: jnp.round(y - mu))
         if hasattr(model, "scales_from_z"):  # MeanScale uses params_from_z
             self._scales_from_z = jax.jit(
                 lambda z: model.apply(params, z, method=model.scales_from_z))
+        # predicted bucketed word widths for the pipelined submit-time
+        # fetch (see PipelinedEncoder) — learned from each batch's counts
+        self._mxb_z: Optional[int] = None
+        self._mxb_y: Optional[int] = None
 
     # --- model-specific hooks -------------------------------------------
     def _encode_parts(self, x) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """-> (centered integer latent symbols, integer z, sigma)."""
-        y, z, sigma = self._encode_arrays(x)
-        return (np.asarray(y, np.int32), np.asarray(z, np.int32),
+        """-> (centered integer latent symbols, integer z, sigma).
+
+        mu/sigma come from ``_prior_from_z`` on the QUANTIZED z_hat — the
+        decoder's own jitted program — so the scale-bin contexts agree
+        bitwise with decode (ADVICE r3)."""
+        y, z_hat = self._analysis_arrays(x)
+        mu, sigma = self._prior_from_z(z_hat)
+        ysym = self._round(y) if mu is None else self._center(y, mu)
+        return (np.asarray(ysym, np.int32), np.asarray(z_hat, np.int32),
                 np.asarray(sigma))
 
     def _prior_from_z(self, z_hat) -> Tuple[Optional[jax.Array], np.ndarray]:
@@ -254,9 +257,18 @@ class HyperCodec:
     # --- device-format batch codec (zero host coding in the hot path) ----
     def _encode_dev_arrays(self, x) -> Tuple[jax.Array, jax.Array,
                                              Optional[jax.Array], jax.Array]:
-        """-> device (centered y symbols f32, z f32, mu|None, sigma)."""
-        y, z, sigma = self._encode_arrays(x)
-        return y, z, None, sigma
+        """-> device (centered y symbols f32, z f32, mu|None, sigma).
+
+        mu/sigma are recomputed from the quantized z_hat with the SAME
+        jitted program the decoder uses (``_prior_from_z_dev``), not the
+        fused encode program's outputs: two XLA programs for the h_s
+        float convs are not guaranteed ulp-identical, and a one-ulp
+        sigma difference on a scale-bin boundary would desync the y
+        stream (ADVICE r3)."""
+        y, z_hat = self._analysis_arrays(x)
+        mu, sigma = self._prior_from_z_dev(z_hat)
+        ysym = self._round(y) if mu is None else self._center(y, mu)
+        return ysym, z_hat, mu, sigma
 
     def _prior_from_z_dev(self, z_hat) -> Tuple[Optional[jax.Array],
                                                 jax.Array]:
@@ -297,15 +309,17 @@ class HyperCodec:
         _, zx, zy, zc = z.shape
         s_z, nl_z, t_z = _plan_lanes(zx * zy, zc)
         s_y, nl_y, t_y = _plan_lanes(yx * yy, yc)
-        z_lane_cdf = jnp.asarray(self.z_cdfs[np.arange(nl_z) % zc])
-        y_cdfs = jnp.asarray(self.y_cdfs_dev)
+        z_lane_cdf = self._dev_table(("z_lane", nl_z, zc),
+                                     lambda: self.z_cdfs[
+                                         np.arange(nl_z) % zc])
+        y_cdfs = self._dev_table(("y_cdfs",), lambda: self.y_cdfs_dev)
         ctx_y = self._scale_ctx(sigma)
 
         from . import pallas_rans
 
         def encode_tensor(vals, ctx, cdfs, t_steps, n_lanes, n_streams,
                           max_abs):
-            impl = _ctx_encode_impl(n_lanes)
+            impl = _ctx_encode_impl(n_lanes, t_steps, ctx is not None)
             cap = (pallas_rans.default_encode_cap(t_steps, n_lanes)
                    if impl.startswith("pallas") else 0)
             w, cnt, esc = _dev_encode(
@@ -319,45 +333,78 @@ class HyperCodec:
         yw, ycnt, y_esc, y_impl, y_cap = encode_tensor(
             y.reshape(b, yx * yy, yc), ctx_y.reshape(b, yx * yy, yc),
             y_cdfs, t_y, nl_y, s_y, _Y_MAX_DEV)
+        # one combined metadata vector + submit-time async host copies:
+        # the word fetches are the dominant cost, so they start NOW and
+        # overlap the next batch's device compute (see PipelinedEncoder)
+        meta = jnp.concatenate([
+            zcnt.astype(jnp.int32), ycnt.astype(jnp.int32),
+            z_esc.astype(jnp.int32), y_esc.astype(jnp.int32)])
+        meta.copy_to_host_async()
+        zw_s = self._presliced(zw, self._mxb_z)
+        yw_s = self._presliced(yw, self._mxb_y)
         shapes = (x.shape[1], x.shape[2], b, zx, zy, zc, yx, yy, yc,
                   s_z, nl_z, t_z, s_y, nl_y, t_y)
-        return (shapes, z, y, ctx_y, z_lane_cdf, y_cdfs,
-                zw, zcnt, z_esc, z_impl, z_cap,
-                yw, ycnt, y_esc, y_impl, y_cap)
+        return (shapes, z, y, ctx_y, z_lane_cdf, y_cdfs, meta,
+                zw, zw_s, z_impl, z_cap,
+                yw, yw_s, y_impl, y_cap)
+
+    def _dev_table(self, key: Tuple, build) -> jax.Array:
+        """Device-resident CDF table, uploaded once per codec instance
+        and geometry (round 3 re-uploaded tables every batch)."""
+        cache = getattr(self, "_table_cache", None)
+        if cache is None:
+            cache = self._table_cache = {}
+        if key not in cache:
+            cache[key] = jnp.asarray(build())
+        return cache[key]
+
+    @staticmethod
+    def _presliced(words: jax.Array, mxb: Optional[int]) -> jax.Array:
+        """Bucketed slice at the PREDICTED width + async host copy."""
+        w = (words if mxb is None or mxb >= words.shape[1]
+             else words[:, :mxb])
+        w.copy_to_host_async()
+        return w
 
     def _compress_drain(self, state: Tuple) -> List[bytes]:
         """Fetch + pack a scheduled batch's containers (host side)."""
-        (shapes, z, y, ctx_y, z_lane_cdf, y_cdfs,
-         zw, zcnt, z_esc, z_impl, z_cap,
-         yw, ycnt, y_esc, y_impl, y_cap) = state
+        (shapes, z, y, ctx_y, z_lane_cdf, y_cdfs, meta,
+         zw, zw_s, z_impl, z_cap,
+         yw, yw_s, y_impl, y_cap) = state
         (ix, iy, b, zx, zy, zc, yx, yy, yc,
          s_z, nl_z, t_z, s_y, nl_y, t_y) = shapes
-        # one combined metadata fetch: every host<->device round trip over
-        # the link costs a full RTT, so counts + escape totals come back
-        # as a single vector
-        meta = np.asarray(jnp.concatenate([
-            zcnt.astype(jnp.int32), ycnt.astype(jnp.int32),
-            z_esc.astype(jnp.int32), y_esc.astype(jnp.int32)]))
-        zcnt_np = meta[: b * s_z]
-        ycnt_np = meta[b * s_z: b * (s_z + s_y)]
-        z_esc_np = meta[b * (s_z + s_y): b * (s_z + s_y) + b]
-        y_esc_np = meta[b * (s_z + s_y) + b:]
+        meta_np = np.asarray(meta)
+        zcnt_np = meta_np[: b * s_z]
+        ycnt_np = meta_np[b * s_z: b * (s_z + s_y)]
+        z_esc_np = meta_np[b * (s_z + s_y): b * (s_z + s_y) + b]
+        y_esc_np = meta_np[b * (s_z + s_y) + b:]
         # rare overflow of the compact kernel's staging cap: re-encode on
         # the unbounded scan engine
         if z_impl.startswith("pallas") and zcnt_np.max() > 2 * nl_z + z_cap:
             zw, zcnt, _ = _dev_encode(
                 z.reshape(b, zx * zy, zc), None, z_lane_cdf, t_steps=t_z,
                 n_lanes=nl_z, n_streams=s_z, max_abs=_Z_MAX, impl="scan")
-            zcnt_np = np.asarray(zcnt)
+            zcnt_np, zw_s = np.asarray(zcnt), zw
         if y_impl.startswith("pallas") and ycnt_np.max() > 2 * nl_y + y_cap:
             yw, ycnt, _ = _dev_encode(
                 y.reshape(b, yx * yy, yc), ctx_y.reshape(b, yx * yy, yc),
                 y_cdfs, t_steps=t_y, n_lanes=nl_y, n_streams=s_y,
                 max_abs=_Y_MAX_DEV, impl="scan")
-            ycnt_np = np.asarray(ycnt)
+            ycnt_np, yw_s = np.asarray(ycnt), yw
 
-        zw_np, zcnt_np = _fetch_streams(zw, zcnt_np, t_z * nl_z, nl_z)
-        yw_np, ycnt_np = _fetch_streams(yw, ycnt_np, t_y * nl_y, nl_y)
+        def fetch(full, sliced, counts_np):
+            need = min(device_rans.bucket_words(int(counts_np.max())),
+                       full.shape[1])
+            if need > sliced.shape[1]:
+                sliced = full[:, :need]  # prediction too small: re-fetch
+            return np.asarray(sliced), need
+
+        zw_np, self._mxb_z = fetch(zw, zw_s, zcnt_np)
+        yw_np, self._mxb_y = fetch(yw, yw_s, ycnt_np)
+        z_chunks = device_rans.streams_from_words(
+            zw_np, zcnt_np, t_z * nl_z, nl_z)
+        y_chunks = device_rans.streams_from_words(
+            yw_np, ycnt_np, t_y * nl_y, nl_y)
         # escapes are the tables' ~2^-16 overflow mass: fetch raw values
         # only for images that actually have any
         z_np = np.asarray(z) if z_esc_np.any() else None
@@ -372,8 +419,8 @@ class HyperCodec:
                 y_np[i] if y_np is not None else np.zeros(0), _Y_MAX_DEV)
             out.append(container.pack(container.CODEC_HYPERPRIOR_DEV, [
                 header,
-                _payload(zw_np, zcnt_np, t_z * nl_z, nl_z, s_z, i),
-                _payload(yw_np, ycnt_np, t_y * nl_y, nl_y, s_y, i),
+                _pack_streams(z_chunks[i * s_z: (i + 1) * s_z]),
+                _pack_streams(y_chunks[i * s_y: (i + 1) * s_y]),
                 z_raw, y_raw]))
         return out
 
@@ -423,7 +470,9 @@ class HyperCodec:
         # hyper-latent: fixed per-lane rows -> int8-codec decode machinery
         # (Pallas VPU kernel when eligible)
         z_words, z_counts, z_cap = gather_words([m[1] for m in metas])
-        z_lane_cdf = jnp.asarray(self.z_cdfs[np.arange(nl_z) % zc])
+        z_lane_cdf = self._dev_table(("z_lane", nl_z, zc),
+                                     lambda: self.z_cdfs[
+                                         np.arange(nl_z) % zc])
         z_syms, z_ok = int_codec._device_decode_batch(
             z_words.astype(jnp.uint16), z_counts, z_lane_cdf, t_steps=t_z,
             impl=int_codec._decode_impl(nl_z, z_cap))
@@ -445,8 +494,9 @@ class HyperCodec:
         ctx_y = self._scale_ctx(sigma).reshape(b * s_y, t_y, nl_y)
         y_words, y_counts, y_cap = gather_words([m[2] for m in metas])
         y_syms, y_ok = _dev_decode_ctx(
-            y_words, y_counts, jnp.asarray(self.y_cdfs_dev), ctx_y,
-            t_steps=t_y, impl=_ctx_decode_impl(nl_y, y_cap))
+            y_words, y_counts, self._dev_table(("y_cdfs",),
+                                               lambda: self.y_cdfs_dev),
+            ctx_y, t_steps=t_y, impl=_ctx_decode_impl(nl_y, y_cap))
         y_vals = (y_syms.astype(jnp.int32).reshape(b, yx, yy, yc)
                   - _Y_MAX_DEV)
         if any(escape.unpack_raw(m[4])[0].size for m in metas):
@@ -473,18 +523,9 @@ class MeanScaleCodec(HyperCodec):
         self._params_from_z = jax.jit(
             lambda z: model.apply(params, z, method=model.params_from_z))
 
-    def _encode_parts(self, x):
-        syms_f, z, mu, sigma = self._encode_arrays(x)
-        return (np.asarray(syms_f, np.int32), np.asarray(z, np.int32),
-                np.asarray(sigma))
-
     def _prior_from_z(self, z_hat):
         mu, sigma = self._params_from_z(z_hat)
         return mu, np.asarray(sigma)
-
-    def _encode_dev_arrays(self, x):
-        syms_f, z, mu, sigma = self._encode_arrays(x)
-        return syms_f, z, mu, sigma
 
     def _prior_from_z_dev(self, z_hat):
         return self._params_from_z(z_hat)

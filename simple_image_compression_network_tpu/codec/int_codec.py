@@ -126,14 +126,19 @@ def _lane_cdf(cdfs: np.ndarray, n_lanes: int) -> np.ndarray:
     return cdfs[np.arange(n_lanes) % c]
 
 
-def _encode_impl(n_lanes: int) -> str:
+def _encode_impl(n_lanes: int, t_steps: int | None = None) -> str:
     """Pick the device encode engine (mirror of ``_decode_impl``): the
-    Pallas kernel on TPU for vector-aligned lane counts, else lax.scan.
+    Pallas kernel on TPU for vector-aligned lane counts whose scratch
+    fits VMEM (``pallas_rans.encode_vmem_ok``), else lax.scan.
     SICN_RANS_IMPL=scan|pallas overrides."""
     forced = os.environ.get("SICN_RANS_IMPL")
     if forced:
         return forced
     if jax.default_backend() == "tpu" and n_lanes % 128 == 0:
+        if t_steps is not None:
+            from . import pallas_rans
+            if not pallas_rans.encode_vmem_ok(t_steps, n_lanes, False):
+                return "scan"
         return "pallas"
     return "scan"
 
@@ -166,7 +171,7 @@ def _device_encode_pallas(z: jax.Array, lane_cdf: jax.Array, *,
 def _encode_capacity(t_steps: int, n_lanes: int) -> int | None:
     """Max valid stream word count of the compact Pallas encoder, or None
     when the scan engine (no capacity bound) is in use."""
-    if _encode_impl(n_lanes).startswith("pallas"):
+    if _encode_impl(n_lanes, t_steps).startswith("pallas"):
         from . import pallas_rans
         return 2 * n_lanes + pallas_rans.default_encode_cap(t_steps,
                                                             n_lanes)
@@ -185,7 +190,7 @@ def _device_encode_batch(z: jax.Array, lane_cdf: jax.Array, *,
     exceeds it (incompressible content — counts stay correct, payload
     bytes past the cap are dropped).  No host sync happens here, so the
     hot path stays a single device program."""
-    impl = _encode_impl(n_lanes)
+    impl = _encode_impl(n_lanes, t_steps)
     if impl.startswith("pallas"):
         from . import pallas_rans
         cap = pallas_rans.default_encode_cap(t_steps, n_lanes)

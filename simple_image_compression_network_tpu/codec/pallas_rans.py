@@ -579,6 +579,29 @@ def _compact_encode_body(syms_ref, cdft_ref, ctx_ref, words_any, cnt_ref,
     dma.wait()
 
 
+# Whole-kernel VMEM budget for the compact encoder (VMEM is ~16 MB/core;
+# the largest verified-compiling configuration [hyper y ctx encode at
+# 768x512] totals ~13.6 MB, so 14 MiB keeps a safety margin while
+# admitting everything known to work).  Larger images overflow through
+# the emit/need scratch, which scales with t_steps — the round-2 failure
+# mode the decode side already guards via ``max_supported_cap``.
+_ENCODE_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def encode_vmem_ok(t_steps: int, n_lanes: int, has_ctx: bool,
+                   g: int = 8) -> bool:
+    """True iff the compact encode kernel's total VMEM footprint (input
+    blocks incl. double buffering + emit/need scratch + staging block)
+    fits the budget for this geometry; callers fall back to the
+    bit-identical lax.scan encoder otherwise (ADVICE r3: compress must
+    degrade like decompress instead of hitting an opaque Mosaic error)."""
+    blk = t_steps * g * n_lanes * 4
+    n_in_blocks = 4 if has_ctx else 2      # (syms [+ctx]) double-buffered
+    cap = default_encode_cap(t_steps, n_lanes)
+    stage = (cap + n_lanes) * 128 * 4
+    return n_in_blocks * blk + 2 * blk + stage <= _ENCODE_VMEM_BUDGET
+
+
 def default_encode_cap(t_steps: int, n_lanes: int,
                        vmem_limit: int = 8 * 1024 * 1024) -> int:
     """Payload capacity (words) for the compact encode kernel's staging

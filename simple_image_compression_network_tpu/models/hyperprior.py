@@ -168,6 +168,16 @@ class ScaleHyperprior(nn.Module):
         sigma = self.h_s(z_hat)
         return jnp.round(y), z_hat, sigma
 
+    def analysis_arrays(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Transforms only: (unrounded y, rounded z_hat).  The codec
+        derives mu/sigma from z_hat with the SAME jitted program the
+        decoder runs (``scales_from_z``/``params_from_z``), so encoder
+        and decoder scale-bin contexts agree bitwise (ADVICE r3: two
+        distinct XLA programs for h_s are not ulp-identical, and an ulp
+        on a searchsorted bin edge desyncs the y stream)."""
+        y = self.g_a(x)
+        return y, jnp.round(self.h_a(y))
+
     def decode_arrays(self, y_hat: jax.Array) -> jax.Array:
         return self.g_s(y_hat)
 
@@ -220,6 +230,12 @@ class MeanScaleHyperprior(nn.Module):
         z_hat = jnp.round(z)
         mu, sigma = self.h_s(z_hat)
         return jnp.round(y - mu), z_hat, mu, sigma
+
+    def analysis_arrays(self, x: jax.Array):
+        """Transforms only: (unrounded y, rounded z_hat) — see
+        ``ScaleHyperprior.analysis_arrays``."""
+        y = self.g_a(x)
+        return y, jnp.round(self.h_a(y))
 
     def decode_arrays(self, y_hat: jax.Array) -> jax.Array:
         return self.g_s(y_hat)
