@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--rd-lambda", type=float, default=0.01, dest="rd_lambda")
     ap.add_argument("--data", default=None, help="image folder (else synthetic)")
+    ap.add_argument("--bank", default="mixed", choices=["mixed", "1f"],
+                    help="synthetic bank when --data is unset: 'mixed' = "
+                    "photos+noise+edges+textures (utils.data.training_bank),"
+                    " '1f' = round-3's plain 1/f noise")
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--ckpt-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=50)
@@ -84,6 +88,8 @@ def main(argv=None):
     if args.data:
         images = np.stack([datalib.load_image(p)
                            for p in datalib.list_images(args.data)])
+    elif args.bank == "mixed":
+        images = datalib.training_bank(48, 512, 512, seed=args.seed)
     else:
         images = datalib.synthetic_images(16, 512, 512, seed=args.seed)
 

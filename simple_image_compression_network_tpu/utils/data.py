@@ -48,6 +48,111 @@ def synthetic_images(n: int, x: int, y: int, seed: int = 0,
     return out
 
 
+def bundled_photos() -> List[np.ndarray]:
+    """Real photographs bundled with installed packages, EXCLUDING every
+    image in ``.evalset/`` (scripts/make_evalset.py) so training content
+    stays disjoint from the RD eval set: sklearn ships two 427x640
+    photos (china.jpg, flower.jpg)."""
+    out: List[np.ndarray] = []
+    try:
+        from sklearn.datasets import load_sample_images
+        for img in load_sample_images().images:
+            out.append(np.asarray(img, np.uint8))
+    except Exception:
+        pass
+    return out
+
+
+def _gradient_edges(rng: np.random.Generator, x: int, y: int) -> np.ndarray:
+    """Piecewise-smooth content: smooth color gradient + random half-plane
+    fills (sharp edges) + a few soft discs — the cartoon/graphics end of
+    the natural-image spectrum the 1/f generator never produces."""
+    yy, xx = np.meshgrid(np.linspace(0, 1, y), np.linspace(0, 1, x))
+    img = np.zeros((x, y, 3), np.float64)
+    for c in range(3):
+        a, b, d = rng.uniform(-1, 1, 3)
+        img[..., c] = 0.5 + 0.4 * (a * xx + b * yy + d * xx * yy)
+    for _ in range(rng.integers(2, 6)):
+        nx, ny = rng.normal(size=2)
+        cx, cy = rng.uniform(0.2, 0.8, 2)
+        mask = nx * (xx - cx) + ny * (yy - cy) > 0
+        img[mask] = rng.uniform(0, 1, 3)
+    for _ in range(rng.integers(1, 4)):
+        cx, cy, r = rng.uniform(0.1, 0.9), rng.uniform(0.1, 0.9), \
+            rng.uniform(0.05, 0.3)
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        w = np.exp(-d2 / (2 * r * r))[..., None]
+        img = img * (1 - 0.7 * w) + rng.uniform(0, 1, 3) * 0.7 * w
+    return np.clip(img * 255, 0, 255).astype(np.uint8)
+
+
+def _texture(rng: np.random.Generator, x: int, y: int) -> np.ndarray:
+    """Oriented quasi-periodic texture: a sum of sinusoidal gratings plus
+    broadband noise, mapped through a random 2-color ramp."""
+    yy, xx = np.meshgrid(np.arange(y), np.arange(x))
+    f = np.zeros((x, y), np.float64)
+    for _ in range(rng.integers(2, 5)):
+        th = rng.uniform(0, np.pi)
+        freq = rng.uniform(0.02, 0.25)
+        f += rng.uniform(0.3, 1.0) * np.sin(
+            2 * np.pi * freq * (np.cos(th) * xx + np.sin(th) * yy)
+            + rng.uniform(0, 2 * np.pi))
+    f += rng.normal(0, 0.3, f.shape)
+    f = (f - f.min()) / max(float(np.ptp(f)), 1e-9)
+    c0, c1 = rng.uniform(0, 255, (2, 3))
+    return np.clip(c0 + (c1 - c0) * f[..., None], 0, 255).astype(np.uint8)
+
+
+def training_bank(n: int = 48, x: int = 512, y: int = 512,
+                  seed: int = 0) -> np.ndarray:
+    """Mixed-content training bank (n, x, y, 3) u8: real-photo crops
+    (flips/transposes for variety), 1/f noise over a RANGE of spectral
+    slopes, piecewise-smooth edge content, and oriented textures.
+
+    Round 3 trained the hyperpriors on fixed-alpha 1/f noise alone; the
+    resulting mean-scale model mispredicted mu badly enough on real
+    photographs to be rate-dominated by the plain scale model
+    (VERDICT r3 weak #4).  This bank is the fix's data half."""
+    rng = np.random.default_rng(seed)
+    out = np.empty((n, x, y, 3), np.uint8)
+    photos = bundled_photos()
+    from PIL import Image
+    i = 0
+    # ~40% real-photo crops (resized up so a 512-crop has photo context)
+    n_photo = (2 * n) // 5 if photos else 0
+    for k in range(n_photo):
+        src = photos[k % len(photos)]
+        scale = max(x / src.shape[0], y / src.shape[1]) * \
+            rng.uniform(1.0, 1.6)
+        im = Image.fromarray(src).resize(
+            (int(src.shape[1] * scale + 1), int(src.shape[0] * scale + 1)),
+            Image.BICUBIC)
+        arr = np.asarray(im, np.uint8)
+        ox = rng.integers(0, arr.shape[0] - x + 1)
+        oy = rng.integers(0, arr.shape[1] - y + 1)
+        crop = arr[ox:ox + x, oy:oy + y]
+        if rng.random() < 0.5:
+            crop = crop[::-1]
+        if rng.random() < 0.5:
+            crop = crop[:, ::-1]
+        if rng.random() < 0.5 and x == y:
+            crop = np.swapaxes(crop, 0, 1)
+        out[i] = crop
+        i += 1
+    # ~30% 1/f noise over a range of slopes
+    n_noise = (3 * (n - i)) // 5
+    alphas = np.linspace(1.0, 2.2, max(n_noise, 1))
+    for k in range(n_noise):
+        out[i] = synthetic_images(1, x, y, seed=seed + 101 + k,
+                                  alpha=float(alphas[k]))[0]
+        i += 1
+    # rest: edges + textures, alternating
+    for k in range(n - i):
+        out[i + k] = (_gradient_edges(rng, x, y) if k % 2 == 0
+                      else _texture(rng, x, y))
+    return out
+
+
 def random_crops(images: np.ndarray, crop: int, batch: int,
                  rng: np.random.Generator) -> np.ndarray:
     """(B, crop, crop, 3) float32 in [0,1] sampled from a uint8 image stack."""
