@@ -131,6 +131,50 @@ def main():
           bool((np.asarray(sy_c) == syms_c).all())
           and bool((np.asarray(cons_c) == np.asarray(cts)).all()))
 
+    # 3c. pipelined encode must emit byte-identical containers to the
+    # sync path ON HARDWARE (round-3 tested this on CPU only; the
+    # pipelined path has its own predictive-slice fetch logic)
+    from simple_image_compression_network_tpu.codec import pipeline
+    enc_p = pipeline.PipelinedEncoder(params, cdfs, depth=2)
+    enc_p.submit(x)
+    enc_p.submit(x)
+    piped = enc_p.drain()
+    check("pipelined encode bytes == sync encode bytes (hardware)",
+          all(a == b for batch in piped for a, b in zip(batch, streams)))
+
+    # 3d. hyperprior device codec: sync vs pipelined byte equality and a
+    # mean-scale roundtrip, on hardware
+    import glob
+    from simple_image_compression_network_tpu import train
+    from simple_image_compression_network_tpu.codec import hyper_codec
+    from simple_image_compression_network_tpu.utils import train_ckpt
+    xs_f = jnp.asarray(imgs_u8.astype(np.float32) / 255.0)
+    for model_name, codec_cls, pat in (
+            ("hyperprior", hyper_codec.HyperCodec, "hp_scale_l*"),
+            ("meanscale", hyper_codec.MeanScaleCodec, "hp_meanscale_l*")):
+        cks = sorted(glob.glob(os.path.join(
+            ROOT, "checkpoints", pat + ".params.msgpack")))
+        if not cks:
+            continue
+        hcfg = train.TrainConfig(model=model_name)
+        model, params0, _ = train.init_state(hcfg, jax.random.key(0))
+        hparams = train_ckpt.restore_params(cks[-1], params0)
+        codec = codec_cls(model, hparams)
+        blobs = codec.compress_batch(xs_f)
+        hp = pipeline.HyperPipelinedEncoder(codec, depth=2)
+        hp.submit(xs_f)
+        hp.submit(xs_f)
+        hdrained = hp.drain()
+        check(f"{model_name} pipelined bytes == sync bytes (hardware)",
+              all(a == b for batch in hdrained
+                  for a, b in zip(batch, blobs)))
+        x_hat_h, y_hat_h = codec.decompress_batch(blobs)
+        ysym, _, mu, _ = codec._encode_dev_arrays(xs_f)
+        expect = ysym if mu is None else ysym + mu
+        check(f"{model_name} decoded latents exact (hardware)",
+              bool((np.asarray(y_hat_h)
+                    == np.asarray(expect.astype(jnp.float32))).all()))
+
     # 4. over-wide buffer: kernel rejects clearly, picker falls back
     too_wide = pallas_rans.max_supported_cap(n_lanes) + 1
     try:

@@ -22,51 +22,63 @@ from ..codec import entropy
 from ..ops.gdn import GDN
 
 
-def _conv(ch: int, k: int = 5, s: int = 2) -> nn.Conv:
-    return nn.Conv(ch, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2)
+def _conv(ch: int, k: int = 5, s: int = 2, dtype=None) -> nn.Conv:
+    return nn.Conv(ch, (k, k), strides=(s, s),
+                   padding=[(k // 2, k // 2)] * 2, dtype=dtype)
 
 
-def _deconv(ch: int, k: int = 5, s: int = 2) -> nn.ConvTranspose:
+def _deconv(ch: int, k: int = 5, s: int = 2, dtype=None) -> nn.ConvTranspose:
     # 'SAME' padding on a stride-2 transpose conv gives exact 2x upsample,
     # matching the reference's deconv522 output algebra (out = 2*in).
-    return nn.ConvTranspose(ch, (k, k), strides=(s, s), padding="SAME")
+    return nn.ConvTranspose(ch, (k, k), strides=(s, s), padding="SAME",
+                            dtype=dtype)
 
 
 class AnalysisTransform(nn.Module):
-    """g_a: image -> latent y.  Geometry of eight_layers_net layers 0-3."""
+    """g_a: image -> latent y.  Geometry of eight_layers_net layers 0-3.
+
+    ``dtype=jnp.bfloat16`` runs the convs/GDN in bf16 (params stay f32;
+    XLA accumulates the MXU dots in f32) — the serving fast path.  The
+    final latent is returned in f32 so quantization thresholds are
+    well-defined."""
 
     n: int = 128
     m: int = 192
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for ch in (self.n, self.n, self.n):
-            x = GDN()(_conv(ch)(x))
-        return _conv(self.m)(x)
+            x = GDN(dtype=self.dtype)(_conv(ch, dtype=self.dtype)(x))
+        return _conv(self.m, dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class SynthesisTransform(nn.Module):
     """g_s: latent y -> image.  Geometry of eight_layers_net layers 4-7."""
 
     n: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, y: jax.Array) -> jax.Array:
         for ch in (self.n, self.n, self.n):
-            y = GDN(inverse=True)(_deconv(ch)(y))
-        return _deconv(3)(y)
+            y = GDN(inverse=True, dtype=self.dtype)(
+                _deconv(ch, dtype=self.dtype)(y))
+        return _deconv(3, dtype=self.dtype)(y).astype(jnp.float32)
 
 
 class HyperAnalysis(nn.Module):
     """h_a: |y| -> hyper-latent z (2x 5x5/s2 after a 3x3/s1)."""
 
     n: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, y: jax.Array) -> jax.Array:
-        h = nn.relu(nn.Conv(self.n, (3, 3), padding="SAME")(jnp.abs(y)))
-        h = nn.relu(_conv(self.n)(h))
-        return _conv(self.n)(h)
+        h = nn.relu(nn.Conv(self.n, (3, 3), padding="SAME",
+                            dtype=self.dtype)(jnp.abs(y)))
+        h = nn.relu(_conv(self.n, dtype=self.dtype)(h))
+        return _conv(self.n, dtype=self.dtype)(h).astype(jnp.float32)
 
 
 class HyperSynthesis(nn.Module):
@@ -74,13 +86,14 @@ class HyperSynthesis(nn.Module):
 
     n: int = 128
     m: int = 192
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
-        h = nn.relu(_deconv(self.n)(z))
-        h = nn.relu(_deconv(self.n)(h))
-        h = nn.Conv(self.m, (3, 3), padding="SAME")(h)
-        return jnp.exp(jnp.clip(h, -10.0, 10.0))
+        h = nn.relu(_deconv(self.n, dtype=self.dtype)(z))
+        h = nn.relu(_deconv(self.n, dtype=self.dtype)(h))
+        h = nn.Conv(self.m, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        return jnp.exp(jnp.clip(h.astype(jnp.float32), -10.0, 10.0))
 
 
 class HyperSynthesisMeanScale(nn.Module):
@@ -88,13 +101,14 @@ class HyperSynthesisMeanScale(nn.Module):
 
     n: int = 128
     m: int = 192
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z: jax.Array) -> tuple[jax.Array, jax.Array]:
-        h = nn.relu(_deconv(self.n)(z))
-        h = nn.relu(_deconv(self.n)(h))
-        h = nn.Conv(2 * self.m, (3, 3), padding="SAME")(h)
-        mu, log_sigma = jnp.split(h, 2, axis=-1)
+        h = nn.relu(_deconv(self.n, dtype=self.dtype)(z))
+        h = nn.relu(_deconv(self.n, dtype=self.dtype)(h))
+        h = nn.Conv(2 * self.m, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        mu, log_sigma = jnp.split(h.astype(jnp.float32), 2, axis=-1)
         return mu, jnp.exp(jnp.clip(log_sigma, -10.0, 10.0))
 
 
@@ -126,16 +140,19 @@ class ScaleHyperprior(nn.Module):
 
     __call__ returns the training quantities; encode/decode-side helpers
     (deterministic latents + scales) live in codec/codec.py.
+    ``dtype=jnp.bfloat16`` switches every transform to the bf16 serving
+    fast path (params stay f32; checkpoints are dtype-agnostic).
     """
 
     n: int = 128
     m: int = 192
+    dtype: Any = None
 
     def setup(self):
-        self.g_a = AnalysisTransform(self.n, self.m)
-        self.g_s = SynthesisTransform(self.n)
-        self.h_a = HyperAnalysis(self.n)
-        self.h_s = HyperSynthesis(self.n, self.m)
+        self.g_a = AnalysisTransform(self.n, self.m, self.dtype)
+        self.g_s = SynthesisTransform(self.n, self.dtype)
+        self.h_a = HyperAnalysis(self.n, self.dtype)
+        self.h_s = HyperSynthesis(self.n, self.m, self.dtype)
         self.bottleneck = entropy.FactorizedEntropy(self.n)
 
     def __call__(self, x: jax.Array, *, key: jax.Array | None = None
@@ -192,12 +209,13 @@ class MeanScaleHyperprior(nn.Module):
 
     n: int = 128
     m: int = 192
+    dtype: Any = None
 
     def setup(self):
-        self.g_a = AnalysisTransform(self.n, self.m)
-        self.g_s = SynthesisTransform(self.n)
-        self.h_a = HyperAnalysis(self.n)
-        self.h_s = HyperSynthesisMeanScale(self.n, self.m)
+        self.g_a = AnalysisTransform(self.n, self.m, self.dtype)
+        self.g_s = SynthesisTransform(self.n, self.dtype)
+        self.h_a = HyperAnalysis(self.n, self.dtype)
+        self.h_s = HyperSynthesisMeanScale(self.n, self.m, self.dtype)
         self.bottleneck = entropy.FactorizedEntropy(self.n)
 
     def __call__(self, x: jax.Array, *, key: jax.Array | None = None

@@ -16,6 +16,8 @@ under Adam updates.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -53,11 +55,16 @@ def _reparam_init(value: float) -> float:
 
 
 class GDN(nn.Module):
-    """Channelwise GDN over NHWC; `inverse=True` gives IGDN."""
+    """Channelwise GDN over NHWC; `inverse=True` gives IGDN.
+
+    ``dtype`` (e.g. jnp.bfloat16) sets the computation dtype of the
+    channel-mixing einsum — the op's MXU matmul — for the serving fast
+    path; params stay f32 and the normalizer sqrt runs in f32."""
 
     inverse: bool = False
     beta_min: float = 1e-6
     gamma_init: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -71,6 +78,15 @@ class GDN(nn.Module):
             (c, c))
         beta = _reparam(beta_raw, self.beta_min)
         gamma = _reparam(gamma_raw)
-        norm = jnp.sqrt(beta + jnp.einsum("...d,dc->...c",
-                                          jnp.square(x), gamma))
-        return x * norm if self.inverse else x / norm
+        xs = jnp.square(x)
+        if self.dtype is not None:
+            mix = jnp.einsum("...d,dc->...c", xs.astype(self.dtype),
+                             gamma.astype(self.dtype),
+                             preferred_element_type=jnp.float32)
+        else:
+            mix = jnp.einsum("...d,dc->...c", xs, gamma)
+        norm = jnp.sqrt(beta + mix.astype(jnp.float32))
+        y = x.astype(jnp.float32)
+        out = y * norm if self.inverse else y / norm
+        return out.astype(x.dtype) if self.dtype is None else out.astype(
+            self.dtype)
