@@ -115,8 +115,10 @@ def main():
         "- int8 codec: bit-exact with the reference integer semantics",
         "  (mod-256 wrap, int4 weights); its PSNR is a property of the",
         "  reference's own trained network, reported honestly.",
-        "- hyperprior rows: trained in this repo on synthetic 1/f crops",
-        "  (30k steps per lambda; checkpoints/*.params.msgpack).",
+        "- hyperprior rows: trained in this repo on the mixed-content",
+        "  bank (real-photo crops disjoint from this eval set + sloped",
+        "  1/f + edges + textures; 50k steps per lambda,",
+        "  scripts/train_release.py; checkpoints/*.params.msgpack).",
         "- plot-ready data: docs/RESULTS.json (bpp / psnr_db per codec",
         "  per content set).",
         "",
