@@ -41,6 +41,39 @@ from . import ilrans
 _WORDS_VMEM_LIMIT = 8 * 1024 * 1024
 
 
+def _expand_words(chunk_cols, rank, eye_f32, g_streams, n_lanes):
+    """Renorm word distribution: w[g, l] = chunk[g, rank[g, l]].
+
+    chunk_cols: (N, G) i32 per-stream window columns (sublane-major, as
+    the transposed words buffer yields them); rank: (G, N) i32 exclusive
+    prefix sum of the renorm mask.  Two steps:
+
+      1. ONE MXU matmul against the identity transposes the window
+         columns to (G, N) lane-major rows (u16-valued words exceed
+         bf16's mantissa -> Precision.HIGHEST),
+      2. a log2(N)-stage butterfly expand: because rank is a prefix sum,
+         the per-lane right-shift l - rank[g, l] is monotone
+         non-decreasing in l and bounded by l, so the classic masked
+         static-roll expand is exact (verified against a NumPy golden in
+         tests) and garbage never wraps in.
+
+    Replaces the per-stream (N, N) one-hot select — the decode kernel's
+    dominant VPU cost (~N^2/128 vector ops per stream per step) — with
+    ~9 lane-rolls total."""
+    chunk_rows = jax.lax.dot_general(
+        chunk_cols.astype(jnp.float32), eye_f32,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)  # (G, N)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g_streams, n_lanes), 1)
+    shift = lane - rank
+    w = chunk_rows
+    for b in reversed(range(max(1, (n_lanes - 1).bit_length()))):
+        take = ((shift >> b) & 1) == 1
+        w = jnp.where(take, pltpu.roll(w, 1 << b, 1), w)
+    return w
+
+
 def max_supported_cap(n_lanes: int) -> int:
     """Largest words-buffer capacity (in u16 words) ``decode`` accepts."""
     return _WORDS_VMEM_LIMIT // (128 * 4) - 2 * n_lanes
@@ -72,6 +105,7 @@ def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 1)
     tri = (k_iota < j_iota).astype(jnp.float32)            # (N, N)
+    eye_f32 = (k_iota == j_iota).astype(jnp.float32)
 
     def step(t, carry):
         x, cnt = carry
@@ -108,19 +142,15 @@ def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
         rank = jnp.dot(need.astype(jnp.float32), tri,
                        preferred_element_type=jnp.float32).astype(jnp.int32)
 
-        # per-stream window read + one-hot select of word[rank]
-        word_rows = []
+        # per-stream window reads (words are u16-valued: i32 columns),
+        # then one MXU transpose + butterfly expand for all G at once
+        cols = []
         for g in range(g_streams):
-            # words are u16-valued: reduce as i32 (Mosaic has no unsigned
-            # reductions), widen back after
-            chunk = words_ref[0, pl.ds(pos_smem[g], n_lanes),
-                              pl.ds(g, 1)].astype(jnp.int32)   # (N, 1)
-            onehot = (k_iota == rank[g:g + 1, :])              # (N, N)
-            w_g = jnp.sum(jnp.where(onehot, chunk, 0),
-                          axis=0, keepdims=True)               # (1, N)
-            word_rows.append(w_g)
+            cols.append(words_ref[0, pl.ds(pos_smem[g], n_lanes),
+                                  pl.ds(g, 1)].astype(jnp.int32))  # (N, 1)
             pos_smem[g] = pos_smem[g] + jnp.sum(need_i[g:g + 1, :])
-        w = jnp.concatenate(word_rows, axis=0).astype(jnp.uint32)  # (G, N)
+        w = _expand_words(jnp.concatenate(cols, axis=1), rank, eye_f32,
+                          g_streams, n_lanes).astype(jnp.uint32)  # (G, N)
 
         x = jnp.where(need, (x << 16) | w, x)
         syms_ref[pl.ds(t, 1)] = sym.astype(jnp.int8)[None]
@@ -224,6 +254,7 @@ def _decode_ctx_kernel(x0_ref, words_ref, cdft_ref, ctx_ref, syms_ref,
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 1)
     tri = (k_iota < j_iota).astype(jnp.float32)
+    eye_f32 = (k_iota == j_iota).astype(jnp.float32)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_lanes), 0)
     cdft_f = cdft_ref[:, :].astype(jnp.float32)            # (L+1, R)
 
@@ -259,16 +290,13 @@ def _decode_ctx_kernel(x0_ref, words_ref, cdft_ref, ctx_ref, syms_ref,
         need_i = need.astype(jnp.int32)
         rank = jnp.dot(need.astype(jnp.float32), tri,
                        preferred_element_type=jnp.float32).astype(jnp.int32)
-        word_rows = []
+        cols = []
         for g in range(g_streams):
-            chunk = words_ref[0, pl.ds(pos_smem[g], n_lanes),
-                              pl.ds(g, 1)].astype(jnp.int32)
-            onehot = (k_iota == rank[g:g + 1, :])
-            w_g = jnp.sum(jnp.where(onehot, chunk, 0),
-                          axis=0, keepdims=True)
-            word_rows.append(w_g)
+            cols.append(words_ref[0, pl.ds(pos_smem[g], n_lanes),
+                                  pl.ds(g, 1)].astype(jnp.int32))
             pos_smem[g] = pos_smem[g] + jnp.sum(need_i[g:g + 1, :])
-        w = jnp.concatenate(word_rows, axis=0).astype(jnp.uint32)
+        w = _expand_words(jnp.concatenate(cols, axis=1), rank, eye_f32,
+                          g_streams, n_lanes).astype(jnp.uint32)
         x = jnp.where(need, (x << 16) | w, x)
         # symbols can exceed int8 range for wide alphabets: store i32
         syms_ref[pl.ds(t, 1)] = sym[None]

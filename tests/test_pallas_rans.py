@@ -211,3 +211,40 @@ def test_pallas_encode_compact_ctx_matches_golden(rng):
         off = ilrans.unpack_header(golden)[3]
         got = words_np[j, : counts_np[j]].astype("<u2").tobytes()
         assert got == golden[off:], f"stream {j}"
+
+
+def test_butterfly_expand_matches_gather():
+    """The renorm butterfly (pallas_rans._expand_words) must equal the
+    gather w[g, l] = chunk[g, rank[g, l]] for every monotone rank
+    pattern (rank = exclusive prefix sum of a 0/1 mask)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from simple_image_compression_network_tpu.codec import pallas_rans
+
+    g_streams, n_lanes = 4, 256
+    rng = np.random.default_rng(42)
+
+    def kernel(chunk_ref, rank_ref, out_ref):
+        k = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 1)
+        eye = (k == j).astype(jnp.float32)
+        out_ref[:, :] = pallas_rans._expand_words(
+            chunk_ref[:, :], rank_ref[:, :], eye, g_streams, n_lanes)
+
+    for density in (0.0, 0.1, 0.5, 0.9, 1.0):
+        need = (rng.uniform(size=(g_streams, n_lanes)) < density)
+        rank = np.cumsum(need, axis=1) - need  # exclusive prefix
+        chunk = rng.integers(0, 1 << 16,
+                             size=(g_streams, n_lanes)).astype(np.int32)
+        chunk_cols = np.ascontiguousarray(chunk.T)  # (N, G)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((g_streams, n_lanes),
+                                           jnp.int32),
+            interpret=True,
+        )(jnp.asarray(chunk_cols), jnp.asarray(rank.astype(np.int32)))
+        expect = np.take_along_axis(chunk, rank.astype(np.int64), axis=1)
+        got = np.asarray(out)
+        sel = need  # only lanes that actually renorm read their word
+        np.testing.assert_array_equal(got[sel], expect[sel])
