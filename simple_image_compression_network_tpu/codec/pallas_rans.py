@@ -528,6 +528,7 @@ def _compact_encode_body(syms_ref, cdft_ref, ctx_ref, words_any, cnt_ref,
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 1)
     tri = (k_iota < j_iota).astype(jnp.float32)
+    eye_f32 = (k_iota == j_iota).astype(jnp.float32)
     if ctx_ref is not None:
         n_rows = cdft_ref.shape[1]
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_lanes), 0)
@@ -585,18 +586,43 @@ def _compact_encode_body(syms_ref, cdft_ref, ctx_ref, words_any, cnt_ref,
         rank_all = jnp.dot(need_all.astype(jnp.float32), tri,
                            preferred_element_type=jnp.float32
                            ).astype(jnp.int32)
+        # batched LSB-first butterfly compress: left-pack each stream's
+        # emitted words.  The shift l - rank is a monotone prefix-sum
+        # quantity, so the masked-roll network is exact and collision-
+        # free (NumPy-golden property test); it replaces the per-stream
+        # (N, N) one-hot compaction — pass 2's dominant VPU cost.
+        # Lanes past a row's packed count hold stale values; the staging
+        # windows already tolerate garbage past the cursor (overwrite
+        # discipline below).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g_streams, n_lanes), 1)
+        d = emit_all
+        s_ride = lane - rank_all
+        v = need_all  # 0/1 i32 (Mosaic cannot lane-roll i1 vectors)
+        for b in range(max(1, (n_lanes - 1).bit_length())):
+            k = 1 << b
+            d2 = pltpu.roll(d, n_lanes - k, 1)
+            s2 = pltpu.roll(s_ride, n_lanes - k, 1)
+            v2 = pltpu.roll(v, n_lanes - k, 1)
+            take = jnp.logical_and(v2 != 0, ((s2 >> b) & 1) == 1)
+            stay = jnp.logical_and(v != 0, ((s_ride >> b) & 1) == 0)
+            d = jnp.where(take, d2, d)
+            s_ride = jnp.where(take, s2, s_ride)
+            v = jnp.where(jnp.logical_or(take, stay), 1, 0)
         for g in range(g_streams):
-            need_row = need_all[g:g + 1, :] != 0           # (1, N)
-            oh2 = jnp.logical_and(k_iota == rank_all[g:g + 1, :],
-                                  need_row)                # (N[k], N[lane])
-            rowcol = jnp.sum(jnp.where(oh2, emit_all[g:g + 1, :], 0),
-                             axis=1, keepdims=True)        # (N, 1)
+            # MXU identity transpose: packed row -> (N, 1) staging column
+            # (u16-valued words exceed bf16's mantissa -> HIGHEST)
+            rowcol = jax.lax.dot_general(
+                eye_f32, d[g:g + 1, :].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
+            ).astype(jnp.int32)                            # (N, 1)
             p = pos_smem[g]
 
             @pl.when(p <= cap)
             def _():
                 stage[pl.ds(p, n_lanes), pl.ds(g, 1)] = rowcol
-            pos_smem[g] = p + jnp.sum(need_row.astype(jnp.int32))
+            pos_smem[g] = p + jnp.sum(need_all[g:g + 1, :])
         return pos_vec + jnp.sum(need_all, axis=1, keepdims=True)
 
     pos_fin = jax.lax.fori_loop(
