@@ -305,14 +305,14 @@ def compress_batch(params: Dict[str, jax.Array], x: jax.Array,
         # buffer is ~16 bits/symbol, the payload typically well under half
         mxb = min(device_rans.bucket_words(int(counts_np.max())),
                   words.shape[1])
-        words_np = np.asarray(words[:, :mxb]).reshape(b, s, -1)
+        words_np = np.asarray(words[:, :mxb]).reshape(b * s, -1)
+        chunks = device_rans.streams_from_words(
+            words_np, counts_np.ravel(), n_syms, n_lanes)
         for i in range(b):
-            chunks = [device_rans.bytes_from_words(
-                words_np[i, j], int(counts_np[i, j]), n_syms, n_lanes)
-                for j in range(s)]
             out.append(container.pack(
                 container.CODEC_INT8,
-                [header, cdf_sections[i], _pack_streams(chunks)]))
+                [header, cdf_sections[i],
+                 _pack_streams(chunks[i * s: (i + 1) * s])]))
         return out
 
     # native / per-image-table path (host coder, still batched transform)
