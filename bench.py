@@ -55,6 +55,27 @@ def timed_median(f, reps, windows=3):
     return sorted(times)[len(times) // 2], r
 
 
+def kernel_slope(dispatch, awaitf, k_lo=1, k_hi=7, windows=3):
+    """True device time of one kernel execution via the k-slope method.
+
+    A single dispatch+await over the tunneled chip measures the link RTT
+    (~40-70 ms), not the kernel: rounds 1-3 reported the entropy kernels
+    at 230-350 MP/s when their device time is ~5-12 ms (>1000 MP/s).
+    Queue k executions, await the last, and take the slope
+    (t_hi - t_lo) / (k_hi - k_lo) — the RTT constant cancels."""
+    def run(k):
+        rs = [dispatch() for _ in range(k)]
+        awaitf(rs[-1])
+        ts = []
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            rs = [dispatch() for _ in range(k)]
+            awaitf(rs[-1])
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+    return (run(k_hi) - run(k_lo)) / (k_hi - k_lo)
+
+
 def measure_transform(params, args):
     import jax
     import jax.numpy as jnp
@@ -143,18 +164,16 @@ def measure_codec(params, args):
             n_lanes, t_steps = lm * c, (zx * zy) // lm // s
             lane_cdf = jnp.asarray(int_codec._lane_cdf(static_cdfs, n_lanes))
 
-            def enc_kernel():
-                w, cnt = int_codec._device_encode_batch(
+            t_ek = kernel_slope(
+                lambda: int_codec._device_encode_batch(
                     z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes,
-                    n_streams=s)
-                np.asarray(cnt[0])
-                return w, cnt
-
-            t_ek, (w, cnt) = timed(enc_kernel)
+                    n_streams=s),
+                lambda r: np.asarray(r[1][0]))
+            w, cnt = int_codec._device_encode_batch(
+                z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
             detail.update(enc_kernel_mps=round(mp / t_ek, 1),
-                          enc_kernel_impl=getattr(
-                              int_codec, "_encode_impl", lambda n: "scan"
-                          )(n_lanes))
+                          enc_kernel_impl=int_codec._encode_impl(
+                              n_lanes, t_steps))
             # bucket the capacity buffer to the true payload, exactly as
             # the production decode path does (int_codec.decompress_batch):
             # the raw 2N+tN worst-case width does not fit the Pallas
@@ -166,12 +185,10 @@ def measure_codec(params, args):
             tc = jnp.asarray(cnt_np)
             dec_impl = int_codec._decode_impl(n_lanes, mxb)
 
-            def dec_kernel():
-                syms, ok = int_codec._device_decode_batch(
-                    wb, tc, lane_cdf, t_steps=t_steps, impl=dec_impl)
-                np.asarray(ok[0])
-
-            t_dk, _ = timed(dec_kernel)
+            t_dk = kernel_slope(
+                lambda: int_codec._device_decode_batch(
+                    wb, tc, lane_cdf, t_steps=t_steps, impl=dec_impl),
+                lambda r: np.asarray(r[1][0]))
             detail.update(dec_kernel_mps=round(mp / t_dk, 1),
                           dec_kernel_impl=dec_impl)
         except Exception as e:

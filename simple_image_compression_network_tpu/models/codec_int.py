@@ -63,6 +63,7 @@ _CONV_IMPL = {
     "lax": conv_int.conv2d_int8,
     "laxf32": conv_int.conv2d_int8_f32,
     "s2d": conv_fast.conv2d_int8_s2d,
+    "s4d": conv_fast.conv2d_int8_s4d,
     "gemm": conv_fast.conv2d_int8_gemm,
     "pallas": _pallas_conv,
     "pallas2": _pallas_conv2,

@@ -131,8 +131,74 @@ def deconv2d_int8_d2s_acc(x: jax.Array, w3: jax.Array) -> jax.Array:
 
 
 def deconv2d_int8_d2s(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
-    return bias_relu_epilogue(deconv2d_int8_d2s_acc(x, deconv_weights_d2s(w)),
-                              bias)
+    """Epilogue runs on the PHASE-FORM (V, W, 4*O) accumulator, then
+    depth-to-space moves int8: for the RGB output layer (O=3) the d2s'd
+    tensor has a 3-lane channel dim, so an epilogue after d2s wastes
+    125/128 vector lanes and shuffles i32 instead of i8 — measured as
+    ~2/3 of the whole layer's time (scripts/profile_l0l7.py).  The
+    per-channel bias tiles across the 4 phase blocks (phase-major column
+    order of ``deconv_weights_d2s``); the wrap/MSB-ReLU epilogue is
+    elementwise, so reordering it before the spatial interleave is
+    bit-exact."""
+    y = lax.conv_general_dilated(
+        x.astype(jnp.int8), deconv_weights_d2s(w), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)], dimension_numbers=DIMNUMS,
+        preferred_element_type=jnp.int32)
+    bias12 = jnp.tile(jnp.asarray(bias), 4)
+    return depth_to_space(bias_relu_epilogue(y, bias12))
+
+
+def space_to_depth4(x: jax.Array) -> jax.Array:
+    """(B, 4V, 4W, C) -> (B, V, W, 16C): 4x4 cells onto channels."""
+    b, x4, y4, c = x.shape
+    v, w = x4 // 4, y4 // 4
+    return (x.reshape(b, v, 4, w, 4, c)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(b, v, w, 16 * c))
+
+
+def conv_weights_s4d(w: np.ndarray | jax.Array) -> jax.Array:
+    """[O, 5, 5, I] k5/s2 kernel -> 3x3 HWIO kernel over s4d channels
+    producing all four output phases.
+
+    Output pixel (2v+pi, 2w+pj) reads input row 4v + u, u = 2*pi + kx - 2
+    in [-2, 5]: s4d tap m = floor(u/4), cell row a = u mod 4.  So
+    W4[mx, my, (ax, ay, c), (pi, pj, o)] = w[o, kx, ky, c] — one 3x3/s1
+    conv (B, V, W, 16I) -> (B, V, W, 4O) whose channel dims are MXU-lane
+    dense (K = 9*16*I, N = 4*O), where the direct form's I=3 collapses
+    XLA's conv path (the L0 lane-structure wall, docs/KERNELS.md)."""
+    w = jnp.asarray(w, jnp.int8)
+    o, k, _, ci = w.shape
+    assert k == 5
+    w4 = jnp.zeros((3, 3, 16 * ci, 4 * o), jnp.int8)
+    for pi in range(2):
+        for kx in range(k):
+            ux = 2 * pi + kx - 2
+            mx, ax = ux // 4 + 1, ux % 4   # +1: taps -1..1 -> kernel 0..2
+            for pj in range(2):
+                for ky in range(k):
+                    uy = 2 * pj + ky - 2
+                    my, ay = uy // 4 + 1, uy % 4
+                    gin = (ax * 4 + ay) * ci
+                    gout = (pi * 2 + pj) * o
+                    w4 = w4.at[mx, my, gin:gin + ci, gout:gout + o].set(
+                        jnp.transpose(w[:, kx, ky, :], (1, 0)))
+    return w4
+
+
+def conv2d_int8_s4d(x: jax.Array, w: jax.Array, bias: jax.Array
+                    ) -> jax.Array:
+    """k5/s2/p2 conv via one 3x3/s1/p1 conv over s4d(x) + d2s of the four
+    output phases.  Epilogue runs on the lane-dense phase form; both
+    reshuffles move int8.  Bit-exact with ``conv_int.conv2d_int8``."""
+    o = w.shape[0]
+    xs = space_to_depth4(x.astype(jnp.int8))
+    y = lax.conv_general_dilated(
+        xs, conv_weights_s4d(w), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)], dimension_numbers=DIMNUMS,
+        preferred_element_type=jnp.int32)
+    bias4 = jnp.tile(jnp.asarray(bias), 4)
+    return depth_to_space(bias_relu_epilogue(y, bias4))
 
 
 def conv2d_int8_gemm_acc(x: jax.Array, w: jax.Array) -> jax.Array:
