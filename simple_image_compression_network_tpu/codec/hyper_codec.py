@@ -276,10 +276,16 @@ class HyperCodec:
 
     def _scale_ctx(self, sigma: jax.Array) -> jax.Array:
         """Per-latent scale-bin context, computed ON DEVICE (both sides
-        derive it from the same decoded z_hat, so they agree bitwise)."""
+        derive it from the same decoded z_hat, so they agree bitwise).
+
+        searchsorted(table, s, 'left') == #{k: table[k] < s}, computed
+        as a broadcast compare + sum over the 64 bins: XLA's
+        ``jnp.searchsorted`` lowering cost ~132 ms/batch on TPU — 90% of
+        the whole hyper encode's device time (round-4 k-slope); the
+        compare-sum form is sub-ms and bin-for-bin identical."""
         table = jnp.asarray(self.scale_table, jnp.float32)
-        idx = jnp.searchsorted(table, sigma.astype(jnp.float32),
-                               side="left")
+        s = sigma.astype(jnp.float32)
+        idx = jnp.sum((table < s[..., None]).astype(jnp.int32), axis=-1)
         return jnp.clip(idx, 0, len(self.scale_table) - 1).astype(jnp.int32)
 
     def compress_batch(self, x: jax.Array) -> List[bytes]:
@@ -333,20 +339,29 @@ class HyperCodec:
         yw, ycnt, y_esc, y_impl, y_cap = encode_tensor(
             y.reshape(b, yx * yy, yc), ctx_y.reshape(b, yx * yy, yc),
             y_cdfs, t_y, nl_y, s_y, _Y_MAX_DEV)
-        # one combined metadata vector + submit-time async host copies:
-        # the word fetches are the dominant cost, so they start NOW and
-        # overlap the next batch's device compute (see PipelinedEncoder)
+        # ONE combined fetch buffer per batch: counts + escape totals +
+        # both (predictively bucketed) word payloads as a single u16
+        # vector.  Every separate device->host await over the tunneled
+        # link costs a full RTT (~40-70 ms) REGARDLESS of
+        # copy_to_host_async (the transfer only happens at the await),
+        # so the round-3 three-fetch drain paid ~3 RTTs per batch; this
+        # pays one.  The slice + concat are dispatched NOW so they run
+        # ahead of the next batch's compute in the device queue.
         meta = jnp.concatenate([
             zcnt.astype(jnp.int32), ycnt.astype(jnp.int32),
             z_esc.astype(jnp.int32), y_esc.astype(jnp.int32)])
-        meta.copy_to_host_async()
         zw_s = self._presliced(zw, self._mxb_z)
         yw_s = self._presliced(yw, self._mxb_y)
+        fetch = jnp.concatenate([
+            (meta & 0xFFFF).astype(jnp.uint16),
+            ((meta >> 16) & 0xFFFF).astype(jnp.uint16),
+            zw_s.reshape(-1), yw_s.reshape(-1)])
+        fetch.copy_to_host_async()
         shapes = (x.shape[1], x.shape[2], b, zx, zy, zc, yx, yy, yc,
                   s_z, nl_z, t_z, s_y, nl_y, t_y)
-        return (shapes, z, y, ctx_y, z_lane_cdf, y_cdfs, meta,
-                zw, zw_s, z_impl, z_cap,
-                yw, yw_s, y_impl, y_cap)
+        widths = (zw_s.shape[1], yw_s.shape[1])
+        return (shapes, widths, z, y, ctx_y, z_lane_cdf, y_cdfs, fetch,
+                zw, z_impl, z_cap, yw, y_impl, y_cap)
 
     def _dev_table(self, key: Tuple, build) -> jax.Array:
         """Device-resident CDF table, uploaded once per codec instance
@@ -360,47 +375,53 @@ class HyperCodec:
 
     @staticmethod
     def _presliced(words: jax.Array, mxb: Optional[int]) -> jax.Array:
-        """Bucketed slice at the PREDICTED width + async host copy."""
-        w = (words if mxb is None or mxb >= words.shape[1]
-             else words[:, :mxb])
-        w.copy_to_host_async()
-        return w
+        """Bucketed slice at the PREDICTED width."""
+        return (words if mxb is None or mxb >= words.shape[1]
+                else words[:, :mxb])
 
     def _compress_drain(self, state: Tuple) -> List[bytes]:
         """Fetch + pack a scheduled batch's containers (host side)."""
-        (shapes, z, y, ctx_y, z_lane_cdf, y_cdfs, meta,
-         zw, zw_s, z_impl, z_cap,
-         yw, yw_s, y_impl, y_cap) = state
+        (shapes, widths, z, y, ctx_y, z_lane_cdf, y_cdfs, fetch,
+         zw, z_impl, z_cap, yw, y_impl, y_cap) = state
         (ix, iy, b, zx, zy, zc, yx, yy, yc,
          s_z, nl_z, t_z, s_y, nl_y, t_y) = shapes
-        meta_np = np.asarray(meta)
+        w_z, w_y = widths
+        buf = np.asarray(fetch)
+        m = b * (s_z + s_y) + 2 * b
+        meta_np = (buf[:m].astype(np.int32)
+                   | (buf[m: 2 * m].astype(np.int32) << 16))
         zcnt_np = meta_np[: b * s_z]
         ycnt_np = meta_np[b * s_z: b * (s_z + s_y)]
         z_esc_np = meta_np[b * (s_z + s_y): b * (s_z + s_y) + b]
         y_esc_np = meta_np[b * (s_z + s_y) + b:]
+        zw_np = buf[2 * m: 2 * m + b * s_z * w_z].reshape(b * s_z, w_z)
+        yw_np = buf[2 * m + b * s_z * w_z:].reshape(b * s_y, w_y)
         # rare overflow of the compact kernel's staging cap: re-encode on
-        # the unbounded scan engine
+        # the unbounded scan engine (blocking, individually fetched)
         if z_impl.startswith("pallas") and zcnt_np.max() > 2 * nl_z + z_cap:
             zw, zcnt, _ = _dev_encode(
                 z.reshape(b, zx * zy, zc), None, z_lane_cdf, t_steps=t_z,
                 n_lanes=nl_z, n_streams=s_z, max_abs=_Z_MAX, impl="scan")
-            zcnt_np, zw_s = np.asarray(zcnt), zw
+            zcnt_np, zw_np = np.asarray(zcnt), None
         if y_impl.startswith("pallas") and ycnt_np.max() > 2 * nl_y + y_cap:
             yw, ycnt, _ = _dev_encode(
                 y.reshape(b, yx * yy, yc), ctx_y.reshape(b, yx * yy, yc),
                 y_cdfs, t_steps=t_y, n_lanes=nl_y, n_streams=s_y,
                 max_abs=_Y_MAX_DEV, impl="scan")
-            ycnt_np, yw_s = np.asarray(ycnt), yw
+            ycnt_np, yw_np = np.asarray(ycnt), None
 
-        def fetch(full, sliced, counts_np):
+        def refetch(full, got, counts_np, pred):
+            """Re-fetch when the predictive bucket was too narrow (or a
+            scan re-encode replaced the buffer)."""
             need = min(device_rans.bucket_words(int(counts_np.max())),
                        full.shape[1])
-            if need > sliced.shape[1]:
-                sliced = full[:, :need]  # prediction too small: re-fetch
-            return np.asarray(sliced), need
+            if got is None or need > got.shape[1]:
+                got = np.asarray(full[:, :need]
+                                 if need < full.shape[1] else full)
+            return got, need
 
-        zw_np, self._mxb_z = fetch(zw, zw_s, zcnt_np)
-        yw_np, self._mxb_y = fetch(yw, yw_s, ycnt_np)
+        zw_np, self._mxb_z = refetch(zw, zw_np, zcnt_np, w_z)
+        yw_np, self._mxb_y = refetch(yw, yw_np, ycnt_np, w_y)
         z_chunks = device_rans.streams_from_words(
             zw_np, zcnt_np, t_z * nl_z, nl_z)
         y_chunks = device_rans.streams_from_words(
@@ -457,7 +478,7 @@ class HyperCodec:
         s_z, nl_z, t_z = _plan_lanes(zx * zy, zc)
         s_y, nl_y, t_y = _plan_lanes(yx * yy, yc)
 
-        def gather_words(chunk_lists):
+        def gather_np(chunk_lists):
             off = ilrans.unpack_header(chunk_lists[0][0])[3]
             counts = np.asarray([(len(ch) - off) // 2
                                  for chs in chunk_lists for ch in chs],
@@ -465,11 +486,31 @@ class HyperCodec:
             cap = device_rans.bucket_words(int(counts.max()))
             words = np.stack([device_rans.words_from_bytes(ch[off:], cap)
                               for chs in chunk_lists for ch in chs])
-            return jnp.asarray(words), jnp.asarray(counts), cap
+            return words, counts, cap
+
+        # ONE combined host->device upload for both tensors' words +
+        # counts (each separate transfer over the tunneled link pays a
+        # full RTT; round 3 paid four), split by cheap device slices
+        zw_np, zc_np, z_cap = gather_np([m[1] for m in metas])
+        yw_np, yc_np, y_cap = gather_np([m[2] for m in metas])
+        up = jnp.asarray(np.concatenate([
+            (zc_np & 0xFFFF).astype(np.uint16),
+            (zc_np >> 16).astype(np.uint16),
+            (yc_np & 0xFFFF).astype(np.uint16),
+            (yc_np >> 16).astype(np.uint16),
+            zw_np.reshape(-1), yw_np.reshape(-1)]))
+        nz, ny = zc_np.size, yc_np.size
+        z_counts = (up[:nz].astype(jnp.int32)
+                    | (up[nz: 2 * nz].astype(jnp.int32) << 16))
+        y_counts = (up[2 * nz: 2 * nz + ny].astype(jnp.int32)
+                    | (up[2 * nz + ny: 2 * (nz + ny)].astype(jnp.int32)
+                       << 16))
+        o = 2 * (nz + ny)
+        z_words = up[o: o + zw_np.size].reshape(zw_np.shape)
+        y_words = up[o + zw_np.size:].reshape(yw_np.shape)
 
         # hyper-latent: fixed per-lane rows -> int8-codec decode machinery
         # (Pallas VPU kernel when eligible)
-        z_words, z_counts, z_cap = gather_words([m[1] for m in metas])
         z_lane_cdf = self._dev_table(("z_lane", nl_z, zc),
                                      lambda: self.z_cdfs[
                                          np.arange(nl_z) % zc])
@@ -492,7 +533,6 @@ class HyperCodec:
 
         mu, sigma = self._prior_from_z_dev(z_hat)
         ctx_y = self._scale_ctx(sigma).reshape(b * s_y, t_y, nl_y)
-        y_words, y_counts, y_cap = gather_words([m[2] for m in metas])
         y_syms, y_ok = _dev_decode_ctx(
             y_words, y_counts, self._dev_table(("y_cdfs",),
                                                lambda: self.y_cdfs_dev),

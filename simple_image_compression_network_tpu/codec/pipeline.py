@@ -81,20 +81,32 @@ class PipelinedEncoder:
         lane_cdf = self._lane_cdf(n_lanes)
         words, counts = int_codec._device_encode_batch(
             z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
-        counts.copy_to_host_async()
         mxb = min(self._mxb or words.shape[1], words.shape[1])
         wslice = words[:, :mxb] if mxb < words.shape[1] else words
-        wslice.copy_to_host_async()
+        # ONE combined fetch vector (counts as u16 halves + payload):
+        # every separate device->host await over the tunneled link costs
+        # a full RTT regardless of copy_to_host_async, so counts and
+        # words travel together
+        fetch = jnp.concatenate([
+            (counts & 0xFFFF).astype(jnp.uint16),
+            ((counts >> 16) & 0xFFFF).astype(jnp.uint16),
+            wslice.reshape(-1)])
+        fetch.copy_to_host_async()
         hdr = struct.pack("<HHHHH", x.shape[1], x.shape[2], zx, zy, c)
-        self._q.append((words, wslice, counts, b, s, t_steps * n_lanes,
+        self._q.append((words, fetch, mxb, b, s, t_steps * n_lanes,
                         n_lanes, hdr, z, lane_cdf, t_steps))
         while len(self._q) > self.depth:
             self._drain_one()
 
     def _drain_one(self) -> None:
-        (words, wslice, counts, b, s, n_syms, n_lanes, hdr, z, lane_cdf,
+        (words, fetch, mxb, b, s, n_syms, n_lanes, hdr, z, lane_cdf,
          t_steps) = self._q.popleft()
-        counts_np = np.asarray(counts).reshape(b, s)
+        buf = np.asarray(fetch)
+        n_str = b * s
+        counts_np = (buf[:n_str].astype(np.int32)
+                     | (buf[n_str: 2 * n_str].astype(np.int32) << 16)
+                     ).reshape(b, s)
+        flat_w = buf[2 * n_str:].reshape(n_str, mxb)
         cap_total = int_codec._encode_capacity(t_steps, n_lanes)
         if cap_total is not None and counts_np.max() > cap_total:
             # compact-kernel staging overflow (incompressible content):
@@ -102,13 +114,15 @@ class PipelinedEncoder:
             words, counts = int_codec._device_encode_scan(
                 z, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
             counts_np = np.asarray(counts).reshape(b, s)
-            wslice = words
+            flat_w = None
         need = min(device_rans.bucket_words(int(counts_np.max())),
                    words.shape[1])
-        if need > wslice.shape[1]:
-            wslice = words[:, :need]  # prediction too small: full re-fetch
+        if flat_w is None or need > mxb:
+            # prediction too small (or scan re-encode): blocking re-fetch
+            flat_w = np.asarray(
+                words[:, :need] if need < words.shape[1] else words
+            ).reshape(n_str, -1)
         self._mxb = need
-        flat_w = np.asarray(wslice).reshape(b * s, -1)
         chunks = device_rans.streams_from_words(
             flat_w, counts_np.ravel(), n_syms, n_lanes)
         self._out.append([
@@ -225,8 +239,19 @@ class PipelinedDecoder:
                           for m in metas for ch in m[1]])
         lane_cdf = jnp.asarray(int_codec._lane_cdf(self.static_cdfs,
                                                    n_lanes))
+        # ONE combined host->device upload (counts as u16 halves +
+        # words): each separate transfer over the tunneled link costs a
+        # full RTT
+        n_str = true_counts.size
+        up = jnp.asarray(np.concatenate([
+            (true_counts & 0xFFFF).astype(np.uint16),
+            (true_counts >> 16).astype(np.uint16),
+            words.reshape(-1)]))
+        tc = (up[:n_str].astype(jnp.int32)
+              | (up[n_str: 2 * n_str].astype(jnp.int32) << 16))
+        wdev = up[2 * n_str:].reshape(words.shape)
         syms, ok = int_codec._device_decode_batch(
-            jnp.asarray(words), jnp.asarray(true_counts), lane_cdf,
+            wdev, tc, lane_cdf,
             t_steps=t_steps, impl=int_codec._decode_impl(n_lanes, cap))
         zj = syms.reshape(len(streams), zx, zy, c)
         cfg = (REFERENCE_NET if (ix, iy) == (768, 512)

@@ -69,8 +69,12 @@ class ShardedHyperCodec:
                 mu = None
                 sigma = model.apply(params, z_hat,
                                     method=model.scales_from_z)
-            idx = jnp.searchsorted(table, sigma.astype(jnp.float32),
-                                   side="left")
+            # compare-sum form of searchsorted 'left' (see
+            # HyperCodec._scale_ctx: XLA's searchsorted lowering is
+            # ~100x slower on TPU; bins are identical)
+            s = sigma.astype(jnp.float32)
+            idx = jnp.sum((table < s[..., None]).astype(jnp.int32),
+                          axis=-1)
             ctx = jnp.clip(idx, 0, table.shape[0] - 1).astype(jnp.int32)
             return (ctx, mu) if self._mean_scale else (ctx,)
 
