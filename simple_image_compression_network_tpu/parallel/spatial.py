@@ -121,7 +121,11 @@ def _deconv_local(h: jax.Array, w: jax.Array, b: jax.Array, impl: str,
         hx.astype(jnp.int8), w3, window_strides=(1, 1),
         padding=[(0, 0), (0, 0)],
         dimension_numbers=DIMNUMS, preferred_element_type=jnp.int32)
-    return bias_relu_epilogue(conv_fast.depth_to_space(y), b)
+    # epilogue on the lane-dense phase form, then d2s moves int8 (the
+    # single-chip L7 fix, conv_fast.deconv2d_int8_d2s: a post-d2s
+    # epilogue on the 3-lane RGB layout wastes 125/128 vector lanes)
+    return conv_fast.depth_to_space(
+        bias_relu_epilogue(y, jnp.tile(jnp.asarray(b), 4)))
 
 
 def _plan(impl, cfg: ModelConfig):
