@@ -108,7 +108,10 @@ def measure_transform(params, args):
         dt = (time.perf_counter() - t0) / args.iters
         return batch * 768 * 512 / dt / 1e6, dt
 
-    batches = [args.batch] if args.batch else [1, 8, 16, 32]
+    # larger batches amortize a ~14 ms fixed per-invocation cost
+    # (round-4 finding: b=96 runs ~1.6x the b=32 rate); HBM comfortably
+    # holds the b=96 intermediates (~1.7 GB peak)
+    batches = [args.batch] if args.batch else [8, 32, 64, 96]
     best = (0.0, 0, 0.0)
     for b in batches:
         mps, dt = measure(b)
