@@ -453,11 +453,11 @@ class HyperCodec:
     def _decompress_drain(self, state: Tuple
                           ) -> Tuple[jax.Array, jax.Array]:
         """Validity fetch for a scheduled batch (one round trip)."""
-        x_hat, y_hat, z_ok, y_ok = state
-        ok = np.asarray(jnp.concatenate([z_ok.ravel(), y_ok.ravel()]))
-        if not ok[: z_ok.size].all():
+        x_hat, y_hat, ok_dev, nz = state
+        ok = np.asarray(ok_dev)
+        if not ok[:nz].all():
             raise ValueError("corrupt hyper-latent stream")
-        if not ok[z_ok.size:].all():
+        if not ok[nz:].all():
             raise ValueError("corrupt latent stream")
         return x_hat, y_hat
 
@@ -551,7 +551,13 @@ class HyperCodec:
         if mu is not None:
             y_hat = y_hat + mu
         x_hat = self._decode_arrays(y_hat)
-        return x_hat, y_hat, z_ok, y_ok
+        # the validity vector is concatenated + its host copy started
+        # HERE (schedule time) so the pipelined drain's await finds it
+        # already local instead of queueing the concat behind the next
+        # batch's device work
+        ok_dev = jnp.concatenate([z_ok.ravel(), y_ok.ravel()])
+        ok_dev.copy_to_host_async()
+        return x_hat, y_hat, ok_dev, z_ok.size
 
 
 class MeanScaleCodec(HyperCodec):

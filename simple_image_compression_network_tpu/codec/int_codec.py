@@ -40,6 +40,10 @@ _L = _MAX_SYM + 1  # + escape bucket (never used for in-range data)
 DEFAULT_LANE_MULT = 2   # lanes = mult * channels
 DEFAULT_STREAMS = 8     # independent spatial streams per image
 
+# per-geometry predicted bucketed word widths for the sync path's
+# single-fetch (see compress_batch; the pipelined encoder keeps its own)
+_SYNC_MXB: Dict[Tuple[int, int, int, int], int] = {}
+
 
 def plan_streams(n_pix: int, lane_mult: int = DEFAULT_LANE_MULT,
                  n_streams: int = DEFAULT_STREAMS) -> Tuple[int, int]:
@@ -292,7 +296,22 @@ def compress_batch(params: Dict[str, jax.Array], x: jax.Array,
         lane_cdf = jnp.asarray(_lane_cdf(static_cdfs, n_lanes))
         words, counts = _device_encode_batch(
             z_dev, lane_cdf, t_steps=t_steps, n_lanes=n_lanes, n_streams=s)
-        counts_np = np.asarray(counts).reshape(b, s)
+        # ONE combined fetch (counts as u16 halves + payload bucketed at
+        # the width PREDICTED from the last batch of this geometry):
+        # every separate device->host await over the tunneled link costs
+        # a full RTT, so the round-3 counts-then-words pattern paid two.
+        key = (b, s, t_steps, n_lanes)
+        mxb = min(_SYNC_MXB.get(key, words.shape[1]), words.shape[1])
+        wslice = words[:, :mxb] if mxb < words.shape[1] else words
+        buf = np.asarray(jnp.concatenate([
+            (counts & 0xFFFF).astype(jnp.uint16),
+            ((counts >> 16) & 0xFFFF).astype(jnp.uint16),
+            wslice.reshape(-1)]))
+        n_str = b * s
+        counts_np = (buf[:n_str].astype(np.int32)
+                     | (buf[n_str: 2 * n_str].astype(np.int32) << 16)
+                     ).reshape(b, s)
+        flat_w = buf[2 * n_str:].reshape(n_str, mxb)
         cap_total = _encode_capacity(t_steps, n_lanes)
         if cap_total is not None and counts_np.max() > cap_total:
             # incompressible content overflowed the compact kernel's
@@ -301,13 +320,16 @@ def compress_batch(params: Dict[str, jax.Array], x: jax.Array,
                 z_dev, lane_cdf, t_steps=t_steps, n_lanes=n_lanes,
                 n_streams=s)
             counts_np = np.asarray(counts).reshape(b, s)
-        # fetch only up to the longest stream (bucketed): the capacity
-        # buffer is ~16 bits/symbol, the payload typically well under half
-        mxb = min(device_rans.bucket_words(int(counts_np.max())),
-                  words.shape[1])
-        words_np = np.asarray(words[:, :mxb]).reshape(b * s, -1)
+            flat_w = None
+        need = min(device_rans.bucket_words(int(counts_np.max())),
+                   words.shape[1])
+        if flat_w is None or need > mxb:
+            flat_w = np.asarray(
+                words[:, :need] if need < words.shape[1] else words
+            ).reshape(n_str, -1)
+        _SYNC_MXB[key] = need
         chunks = device_rans.streams_from_words(
-            words_np, counts_np.ravel(), n_syms, n_lanes)
+            flat_w, counts_np.ravel(), n_syms, n_lanes)
         for i in range(b):
             out.append(container.pack(
                 container.CODEC_INT8,
