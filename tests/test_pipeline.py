@@ -66,3 +66,39 @@ def test_collect_interleaved(setup):
                                    static_cdfs=cdfs, coder="device")
     assert first == ref
     assert len(enc.drain()) == 1
+
+
+def test_sync_fetch_prediction_fallback(setup):
+    """The sync path's single-fetch bucket prediction must re-fetch
+    transparently when seeded too small (bytes unchanged)."""
+    params, cfg, batches, cdfs = setup
+    x = batches[0]
+    ref = int_codec.compress_batch(params, x, cfg, static_cdfs=cdfs,
+                                   coder="device")
+    # poison every geometry's prediction with a too-narrow bucket
+    saved = dict(int_codec._SYNC_MXB)
+    try:
+        for k in list(int_codec._SYNC_MXB) or []:
+            int_codec._SYNC_MXB[k] = 1
+        # also pre-seed the exact key with a tiny width
+        for k in list(saved) or list(int_codec._SYNC_MXB):
+            int_codec._SYNC_MXB[k] = 1
+        got = int_codec.compress_batch(params, x, cfg, static_cdfs=cdfs,
+                                       coder="device")
+    finally:
+        int_codec._SYNC_MXB.clear()
+        int_codec._SYNC_MXB.update(saved)
+    assert got == ref
+
+
+def test_pipelined_encoder_prediction_fallback(setup):
+    """PipelinedEncoder with a poisoned width prediction still emits
+    sync-identical bytes (blocking re-fetch path)."""
+    params, cfg, batches, cdfs = setup
+    enc = pipeline.PipelinedEncoder(params, cdfs, cfg, depth=2)
+    enc._mxb = 4096  # one bucket: too small for these payloads? use min
+    enc.submit(batches[0])
+    got = enc.drain()[0]
+    ref = int_codec.compress_batch(params, batches[0], cfg,
+                                   static_cdfs=cdfs, coder="device")
+    assert got == ref
