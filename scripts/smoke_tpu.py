@@ -175,6 +175,29 @@ def main():
               bool((np.asarray(y_hat_h)
                     == np.asarray(expect.astype(jnp.float32))).all()))
 
+    # 3e. large-image VMEM-guard fallback: 1536x1024 overflows the
+    # compact encode kernel's scratch budget AND the decode kernel's
+    # word window; both pickers must route to the scan engines and the
+    # roundtrip must stay bit-exact (ADVICE r3: compress used to hit an
+    # opaque Mosaic INTERNAL here)
+    from simple_image_compression_network_tpu.config import (
+        reference_net_for_input)
+    bigcfg = reference_net_for_input(1536, 1024)
+    sL, lmL = int_codec.plan_streams((1536 // 16) * (1024 // 16))
+    tL = (1536 // 16) * (1024 // 16) // lmL // sL
+    check("large-image encode picker falls back to scan",
+          int_codec._encode_impl(lmL * 192, tL) == "scan")
+    big = jnp.asarray(datalib.synthetic_images(1, 1536, 1024,
+                                               seed=11).view(np.int8))
+    big_blobs = int_codec.compress_batch(params, big, bigcfg,
+                                         static_cdfs=cdfs)
+    big_hat, _ = int_codec.decompress_batch(params, big_blobs,
+                                            static_cdfs=cdfs)
+    big_direct = jax.jit(lambda p, v: codec_int.eight_layers_net(
+        p, v, bigcfg))(params, big)
+    check("1536x1024 scan-fallback roundtrip bit-exact (hardware)",
+          bool((np.asarray(big_hat) == np.asarray(big_direct)).all()))
+
     # 4. over-wide buffer: kernel rejects clearly, picker falls back
     too_wide = pallas_rans.max_supported_cap(n_lanes) + 1
     try:
