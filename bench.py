@@ -278,7 +278,8 @@ def measure_hyper(args):
     from simple_image_compression_network_tpu.utils import (
         data as datalib, train_ckpt)
 
-    b = min(args.codec_batch, 8)
+    b = args.codec_batch  # larger batches amortize the fixed
+    # per-program remote-exec cost (round 4: b=32 serves ~1.5x b=8)
     imgs = datalib.synthetic_images(b, 768, 512, seed=3)
     x = jnp.asarray(imgs.astype(np.float32) / 255.0)
     mp = b * 768 * 512 / 1e6
@@ -390,13 +391,18 @@ def measure_sharded(params, args):
         for _ in range(2):
             s = f(params, v, s.astype(jnp.int8))
         np.asarray(s)
-        s = jnp.int32(1)
-        t0 = time.perf_counter()
-        for _ in range(args.codec_iters * 3):
-            s = f(params, v, s.astype(jnp.int8))
-        np.asarray(s)
-        return (time.perf_counter() - t0) / (args.codec_iters * 3)
+        ts = []
+        for _ in range(3):  # median window (link weather, VERDICT r3 #7)
+            s = jnp.int32(1)
+            t0 = time.perf_counter()
+            for _ in range(args.codec_iters * 3):
+                s = f(params, v, s.astype(jnp.int8))
+            np.asarray(s)
+            ts.append((time.perf_counter() - t0) / (args.codec_iters * 3))
+        return sorted(ts)[1]
 
+    # interleave would be better still, but median windows already tame
+    # the minutes-scale weather that once reported -58% "overhead"
     t_sh = timeit(sharded, xs)
     t_pl = timeit(plain, x)
     mp = b * 768 * 512 / 1e6
