@@ -77,7 +77,8 @@ def _decode(data: bytes, n: int, ctx: np.ndarray, cdfs: np.ndarray,
 
 
 def _ctx_encode_impl(n_lanes: int, t_steps: int | None = None,
-                     has_ctx: bool = False) -> str:
+                     has_ctx: bool = False,
+                     total_streams: int | None = None) -> str:
     """Engine for the device encode: the compact Pallas kernel on TPU for
     vector-aligned lane counts whose scratch fits VMEM
     (``pallas_rans.encode_vmem_ok``), else lax.scan.  SICN_RANS_IMPL
@@ -89,7 +90,10 @@ def _ctx_encode_impl(n_lanes: int, t_steps: int | None = None,
     if jax.default_backend() == "tpu" and n_lanes % 128 == 0:
         if t_steps is not None:
             from . import pallas_rans
-            if not pallas_rans.encode_vmem_ok(t_steps, n_lanes, has_ctx):
+            g = (pallas_rans.pick_g(total_streams)
+                 if total_streams else 8)
+            if not pallas_rans.encode_vmem_ok(t_steps, n_lanes, has_ctx,
+                                              g):
                 return "scan"
         return "pallas"
     return "scan"
@@ -130,17 +134,26 @@ def _dev_encode(vals: jax.Array, ctx: jax.Array | None, cdfs: jax.Array, *,
     return words.astype(jnp.uint16), counts, n_esc
 
 
-def _ctx_decode_impl(n_lanes: int, cap: int) -> str:
+def _ctx_decode_impl(n_lanes: int, cap: int,
+                     t_steps: int | None = None,
+                     total_streams: int | None = None) -> str:
     """Engine for per-symbol-context decode: Pallas kernel on TPU when
-    lanes are vector-aligned and the buffer fits, else lax.scan."""
+    lanes are vector-aligned and the words window AND the t-scaled
+    ctx/symbol blocks fit VMEM, else lax.scan."""
     import os as _os
     forced = _os.environ.get("SICN_RANS_IMPL")
     if forced:
         return forced
     from . import pallas_rans
-    if (jax.default_backend() == "tpu" and n_lanes % 128 == 0
-            and cap <= pallas_rans.max_supported_cap(n_lanes)):
-        return "pallas"
+    if jax.default_backend() == "tpu" and n_lanes % 128 == 0:
+        if t_steps is not None:
+            g = (pallas_rans.pick_g(total_streams)
+                 if total_streams else 8)
+            if pallas_rans.decode_ctx_vmem_ok(t_steps, n_lanes, cap, g):
+                return "pallas"
+            return "scan"
+        if cap <= pallas_rans.max_supported_cap(n_lanes):
+            return "pallas"
     return "scan"
 
 
@@ -325,7 +338,8 @@ class HyperCodec:
 
         def encode_tensor(vals, ctx, cdfs, t_steps, n_lanes, n_streams,
                           max_abs):
-            impl = _ctx_encode_impl(n_lanes, t_steps, ctx is not None)
+            impl = _ctx_encode_impl(n_lanes, t_steps, ctx is not None,
+                                    b * n_streams)
             cap = (pallas_rans.default_encode_cap(t_steps, n_lanes)
                    if impl.startswith("pallas") else 0)
             w, cnt, esc = _dev_encode(
@@ -536,7 +550,8 @@ class HyperCodec:
         y_syms, y_ok = _dev_decode_ctx(
             y_words, y_counts, self._dev_table(("y_cdfs",),
                                                lambda: self.y_cdfs_dev),
-            ctx_y, t_steps=t_y, impl=_ctx_decode_impl(nl_y, y_cap))
+            ctx_y, t_steps=t_y,
+            impl=_ctx_decode_impl(nl_y, y_cap, t_y, b * s_y))
         y_vals = (y_syms.astype(jnp.int32).reshape(b, yx, yy, yc)
                   - _Y_MAX_DEV)
         if any(escape.unpack_raw(m[4])[0].size for m in metas):

@@ -130,18 +130,22 @@ def _lane_cdf(cdfs: np.ndarray, n_lanes: int) -> np.ndarray:
     return cdfs[np.arange(n_lanes) % c]
 
 
-def _encode_impl(n_lanes: int, t_steps: int | None = None) -> str:
+def _encode_impl(n_lanes: int, t_steps: int | None = None,
+                 total_streams: int | None = None) -> str:
     """Pick the device encode engine (mirror of ``_decode_impl``): the
     Pallas kernel on TPU for vector-aligned lane counts whose scratch
-    fits VMEM (``pallas_rans.encode_vmem_ok``), else lax.scan.
-    SICN_RANS_IMPL=scan|pallas overrides."""
+    fits VMEM (``pallas_rans.encode_vmem_ok`` at the ACTUAL stream-group
+    size — odd stream counts force bigger blocks, ``pick_g``), else
+    lax.scan.  SICN_RANS_IMPL=scan|pallas overrides."""
     forced = os.environ.get("SICN_RANS_IMPL")
     if forced:
         return forced
     if jax.default_backend() == "tpu" and n_lanes % 128 == 0:
         if t_steps is not None:
             from . import pallas_rans
-            if not pallas_rans.encode_vmem_ok(t_steps, n_lanes, False):
+            g = (pallas_rans.pick_g(total_streams)
+                 if total_streams else 8)
+            if not pallas_rans.encode_vmem_ok(t_steps, n_lanes, False, g):
                 return "scan"
         return "pallas"
     return "scan"
@@ -172,10 +176,11 @@ def _device_encode_pallas(z: jax.Array, lane_cdf: jax.Array, *,
     return words.astype(jnp.uint16), counts
 
 
-def _encode_capacity(t_steps: int, n_lanes: int) -> int | None:
+def _encode_capacity(t_steps: int, n_lanes: int,
+                     total_streams: int | None = None) -> int | None:
     """Max valid stream word count of the compact Pallas encoder, or None
     when the scan engine (no capacity bound) is in use."""
-    if _encode_impl(n_lanes, t_steps).startswith("pallas"):
+    if _encode_impl(n_lanes, t_steps, total_streams).startswith("pallas"):
         from . import pallas_rans
         return 2 * n_lanes + pallas_rans.default_encode_cap(t_steps,
                                                             n_lanes)
@@ -194,7 +199,7 @@ def _device_encode_batch(z: jax.Array, lane_cdf: jax.Array, *,
     exceeds it (incompressible content — counts stay correct, payload
     bytes past the cap are dropped).  No host sync happens here, so the
     hot path stays a single device program."""
-    impl = _encode_impl(n_lanes, t_steps)
+    impl = _encode_impl(n_lanes, t_steps, z.shape[0] * n_streams)
     if impl.startswith("pallas"):
         from . import pallas_rans
         cap = pallas_rans.default_encode_cap(t_steps, n_lanes)
@@ -312,7 +317,7 @@ def compress_batch(params: Dict[str, jax.Array], x: jax.Array,
                      | (buf[n_str: 2 * n_str].astype(np.int32) << 16)
                      ).reshape(b, s)
         flat_w = buf[2 * n_str:].reshape(n_str, mxb)
-        cap_total = _encode_capacity(t_steps, n_lanes)
+        cap_total = _encode_capacity(t_steps, n_lanes, b * s)
         if cap_total is not None and counts_np.max() > cap_total:
             # incompressible content overflowed the compact kernel's
             # staging cap: re-encode on the unbounded scan engine

@@ -74,9 +74,40 @@ def _expand_words(chunk_cols, rank, eye_f32, g_streams, n_lanes):
     return w
 
 
+
+def pick_g(s: int, pref: int = 8) -> int:
+    """Streams per grid block.  Mosaic requires a block's sublane dim to
+    be a multiple of 8 OR equal to the full array dim, so the old
+    "largest divisor of S up to 8" choice produced invalid blocks for
+    stream counts like 12 (g=6).  Prefer 8; else the smallest multiple
+    of 8 dividing S; else one block covering all S streams (block dim ==
+    array dim is always legal; the VMEM guards take the actual g)."""
+    if s % pref == 0 and s >= pref:
+        return pref
+    for g in (16, 24, 32, 40, 48):
+        if g <= s and s % g == 0:
+            return g
+    return s
+
+
 def max_supported_cap(n_lanes: int) -> int:
     """Largest words-buffer capacity (in u16 words) ``decode`` accepts."""
     return _WORDS_VMEM_LIMIT // (128 * 4) - 2 * n_lanes
+
+
+def decode_ctx_vmem_ok(t_steps: int, n_lanes: int, cap: int,
+                       g: int = 8) -> bool:
+    """True iff ``decode_ctx``'s whole-kernel VMEM footprint fits: the
+    words window (bounded by ``max_supported_cap``) PLUS the per-step
+    context input block and i32 symbol output block, which scale with
+    t_steps and overflow VMEM for large images even when the words
+    window fits (the encode-side analog is ``encode_vmem_ok``).  Callers
+    fall back to the bit-identical lax.scan decoder."""
+    if cap > max_supported_cap(n_lanes):
+        return False
+    words = (cap + n_lanes) * 128 * 4
+    blk = t_steps * g * n_lanes * 4
+    return words + 4 * blk <= _ENCODE_VMEM_BUDGET
 
 
 def _decode_kernel(x0_ref, words_ref, cdft_ref, syms_ref, xfin_ref,
@@ -191,9 +222,7 @@ def decode(words: jax.Array, x0: jax.Array, lane_cdf: jax.Array, *,
             "bucket the capacity to the true payload "
             "(device_rans.bucket_words) or use the scan decoder")
     n_sym = lane_cdf.shape[1] - 1
-    g = min(g_streams, s)
-    while s % g:
-        g -= 1
+    g = pick_g(s, g_streams)
     n_blocks = s // g
     # pad cap so in-kernel windows never run off the block
     words_p = jnp.pad(words.astype(jnp.uint32), ((0, 0), (0, n_lanes)))
@@ -329,9 +358,7 @@ def decode_ctx(words: jax.Array, x0: jax.Array, cdfs: jax.Array,
             f"word buffer cap={cap} exceeds the VPU kernel's VMEM window; "
             "bucket the capacity or use the scan decoder")
     n_rows, l1 = cdfs.shape
-    g = min(g_streams, s)
-    while s % g:
-        g -= 1
+    g = pick_g(s, g_streams)
     n_blocks = s // g
     words_p = jnp.pad(words.astype(jnp.uint32), ((0, 0), (0, n_lanes)))
     words_t = jnp.swapaxes(words_p.reshape(n_blocks, g, cap + n_lanes), 1, 2)
@@ -438,9 +465,7 @@ def encode_batch(syms: jax.Array, lane_cdf: jax.Array, *,
     ``jax.vmap(lambda s: device_rans.encode(s, lane_cdf, None))``.
     """
     s, t_steps, n_lanes = syms.shape
-    g = min(g_streams, s)
-    while s % g:
-        g -= 1
+    g = pick_g(s, g_streams)
     n_blocks = s // g
     n_sym = lane_cdf.shape[1] - 1
     syms_t = jnp.swapaxes(syms.astype(jnp.int32), 0, 1)    # (t, S, N)
@@ -687,9 +712,7 @@ def encode_batch_compact(syms: jax.Array, lane_cdf: jax.Array,
     re-encoded via the scan path (the caller's fallback).
     """
     s, t_steps, n_lanes = syms.shape
-    g = min(g_streams, s)
-    while s % g:
-        g -= 1
+    g = pick_g(s, g_streams)
     n_blocks = s // g
     n_sym = lane_cdf.shape[1] - 1
     syms_t = jnp.swapaxes(syms.astype(jnp.int32), 0, 1)    # (t, S, N)

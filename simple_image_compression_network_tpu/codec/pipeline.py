@@ -107,7 +107,7 @@ class PipelinedEncoder:
                      | (buf[n_str: 2 * n_str].astype(np.int32) << 16)
                      ).reshape(b, s)
         flat_w = buf[2 * n_str:].reshape(n_str, mxb)
-        cap_total = int_codec._encode_capacity(t_steps, n_lanes)
+        cap_total = int_codec._encode_capacity(t_steps, n_lanes, b * s)
         if cap_total is not None and counts_np.max() > cap_total:
             # compact-kernel staging overflow (incompressible content):
             # re-encode on the unbounded scan engine — rare, blocking
