@@ -198,6 +198,28 @@ def main():
     check("1536x1024 scan-fallback roundtrip bit-exact (hardware)",
           bool((np.asarray(big_hat) == np.asarray(big_direct)).all()))
 
+    # 3f. large-image HYPER roundtrip: exercises the ctx-decode VMEM
+    # guard AND the odd-stream-count grid blocks (the z tensor at this
+    # size plans 6 streams/image — the pick_g Mosaic block-shape case)
+    try:
+        cks_s = sorted(glob.glob(os.path.join(
+            ROOT, "checkpoints", "hp_scale_l*.params.msgpack")))
+        if cks_s:
+            hcfg2 = train.TrainConfig(model="hyperprior")
+            hmodel2, hp0, _ = train.init_state(hcfg2, jax.random.key(0))
+            hpar = train_ckpt.restore_params(cks_s[-1], hp0)
+            hc = hyper_codec.HyperCodec(hmodel2, hpar)
+            hbig = jnp.asarray(datalib.synthetic_images(
+                1, 1536, 1024, seed=12).astype(np.float32) / 255.0)
+            hblobs = hc.compress_batch(hbig)
+            _, yh = hc.decompress_batch(hblobs)
+            ys, _, mu, _ = hc._encode_dev_arrays(hbig)
+            exp = (ys if mu is None else ys + mu).astype(jnp.float32)
+            check("1536x1024 hyper roundtrip latents exact (hardware)",
+                  bool((np.asarray(yh) == np.asarray(exp)).all()))
+    except Exception as e:
+        check(f"1536x1024 hyper roundtrip ({repr(e)[:80]})", False)
+
     # 4. over-wide buffer: kernel rejects clearly, picker falls back
     too_wide = pallas_rans.max_supported_cap(n_lanes) + 1
     try:
