@@ -168,3 +168,104 @@ def shard_streams(words: np.ndarray, counts: np.ndarray, mesh: Mesh,
     sh2 = NamedSharding(mesh, P(None, axis_name))
     return (jax.device_put(jnp.asarray(words), sh3),
             jax.device_put(jnp.asarray(counts), sh2))
+
+
+class ShardedIntCodec:
+    """Container-level multi-chip serving wrapper for the int8 codec
+    (the ``hyper_sharded.ShardedHyperCodec`` analog, round 4).
+
+    Transforms run spatially tiled via the explicit-halo shard_map net;
+    each chip rANS-codes the spatial streams of its own latent tile.
+    Containers are byte-identical to single-chip
+    ``int_codec.compress_batch`` with S = n_chips * s_local streams and
+    the same lane_mult (asserted in tests), so single-chip and sharded
+    deployments interoperate freely.
+    """
+
+    def __init__(self, params: Dict[str, jax.Array],
+                 static_cdfs: np.ndarray, mesh: Mesh,
+                 cfg: ModelConfig = REFERENCE_NET, *,
+                 lane_mult: int = 2, axis_name: str = "x"):
+        from ..codec import int_codec
+        self.params = params
+        self.static_cdfs = static_cdfs
+        self.mesh = mesh
+        self.cfg = cfg
+        self.lane_mult = lane_mult
+        self.axis = axis_name
+        self.n = mesh.shape[axis_name]
+        self._int_codec = int_codec
+        self._lane_cdfs: Dict[int, jax.Array] = {}
+
+    def _plan(self, xd: int, yd: int):
+        """Single-chip stream plan for this geometry; the sharded path
+        must realize the SAME plan (s_local = S / n) for byte identity."""
+        zx, zy = xd // 16, yd // 16
+        s, lm = self._int_codec.plan_streams(zx * zy, self.lane_mult)
+        assert s % self.n == 0 and zx % self.n == 0, (
+            f"stream plan S={s}, zx={zx} does not tile over "
+            f"{self.n} chips")
+        c = self.cfg.layers[len(self.cfg.analysis) - 1].out_ch
+        n_lanes = lm * c
+        return zx, zy, c, s, lm, n_lanes, (zx * zy) // lm // s
+
+    def _cdf(self, n_lanes: int) -> jax.Array:
+        if n_lanes not in self._lane_cdfs:
+            self._lane_cdfs[n_lanes] = jnp.asarray(
+                self.static_cdfs[np.arange(n_lanes)
+                                 % self.static_cdfs.shape[0]])
+        return self._lane_cdfs[n_lanes]
+
+    def compress_batch(self, x: jax.Array) -> list:
+        from ..codec import container, device_rans
+        from ..codec.int_codec import _pack_streams
+        b, xd, yd, _ = x.shape
+        zx, zy, c, s, lm, n_lanes, t_steps = self._plan(xd, yd)
+        xs = spatial.shard_image(x, self.mesh)
+        words, counts = compress_sharded(
+            self.params, xs, self.mesh, self._cdf(n_lanes), self.cfg,
+            s_local=s // self.n, lane_mult=lm, axis_name=self.axis)
+        counts_np = np.asarray(counts).reshape(b * s)
+        mxb = min(device_rans.bucket_words(int(counts_np.max())),
+                  words.shape[2])
+        words_np = np.asarray(words[:, :, :mxb]).reshape(b * s, -1)
+        chunks = device_rans.streams_from_words(
+            words_np, counts_np, t_steps * n_lanes, n_lanes)
+        import struct
+        header = struct.pack("<HHHHH", xd, yd, zx, zy, c)
+        return [container.pack(
+            container.CODEC_INT8,
+            [header, b"", _pack_streams(chunks[i * s: (i + 1) * s])])
+            for i in range(b)]
+
+    def decompress_batch(self, blobs) -> Tuple[jax.Array, jax.Array]:
+        """-> (x_hat sharded over X, z sharded); raises on corruption."""
+        import struct
+        from ..codec import container, device_rans
+        from ..codec.int_codec import _unpack_streams
+        metas = []
+        for data in blobs:
+            cid, (hdr, cdf_b, payload) = container.unpack(data)
+            assert cid == container.CODEC_INT8 and not cdf_b, (
+                "sharded decode expects static-table int8 containers")
+            metas.append((struct.unpack("<HHHHH", hdr),
+                          _unpack_streams(payload)))
+        assert all(m[0] == metas[0][0] for m in metas), "mixed geometries"
+        (xd, yd, zx, zy, c) = metas[0][0]
+        zx2, zy2, c2, s, lm, n_lanes, t_steps = self._plan(xd, yd)
+        assert (zx, zy, c) == (zx2, zy2, c2)
+        off = ilrans.unpack_header(metas[0][1][0])[3]
+        counts = np.asarray([(len(ch) - off) // 2
+                             for m in metas for ch in m[1]],
+                            np.int32).reshape(len(blobs), s)
+        cap = device_rans.bucket_words(int(counts.max()))
+        words = np.stack([device_rans.words_from_bytes(ch[off:], cap)
+                          for m in metas for ch in m[1]]
+                         ).reshape(len(blobs), s, -1)
+        wdev, cdev = shard_streams(words, counts, self.mesh, self.axis)
+        x_hat, z, ok = decompress_sharded(
+            self.params, wdev, cdev, self.mesh, self._cdf(n_lanes),
+            (xd, yd), self.cfg, t_steps=t_steps, axis_name=self.axis)
+        if not bool(np.asarray(ok).all()):
+            raise ValueError("corrupt stream in sharded decode")
+        return x_hat, z

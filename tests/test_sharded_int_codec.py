@@ -1,0 +1,52 @@
+"""Container-level sharded int8 codec: byte-identity + exact roundtrip."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simple_image_compression_network_tpu.codec import int_codec
+from simple_image_compression_network_tpu.config import (
+    reference_net_for_input)
+from simple_image_compression_network_tpu.models import codec_int
+from simple_image_compression_network_tpu.parallel import (
+    entropy_sharded, mesh as meshlib)
+from simple_image_compression_network_tpu.utils import weights_io
+
+CKPT = os.path.join(os.path.dirname(__file__), "..",
+                    "checkpoints", "reference_weights.npz")
+N_CHIPS = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = {k: jnp.asarray(v) for k, v in
+              weights_io.load_checkpoint(CKPT).items()}
+    cfg = reference_net_for_input(512, 256)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.integers(0, 256, size=(2, 512, 256, 3),
+                                 dtype=np.uint8).view(np.int8))
+    cdfs = int_codec.build_static_cdfs(params, [x[:1]], cfg)
+    return params, cfg, x, cdfs
+
+
+def test_sharded_int_codec_bytes_and_roundtrip(setup):
+    params, cfg, x, cdfs = setup
+    mesh = meshlib.make_mesh((N_CHIPS,), ("x",))
+    codec = entropy_sharded.ShardedIntCodec(params, cdfs, mesh, cfg)
+
+    blobs_s = codec.compress_batch(x)
+    blobs_1 = int_codec.compress_batch(params, x, cfg, static_cdfs=cdfs,
+                                       coder="device")
+    assert all(a == b for a, b in zip(blobs_s, blobs_1)), (
+        "sharded int8 containers differ from single-chip bytes")
+
+    x_hat, z = codec.decompress_batch(blobs_s)
+    direct = codec_int.eight_layers_net(params, x, cfg)
+    np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(direct))
+
+    bad = bytearray(blobs_s[0])
+    bad[-3] ^= 0xFF
+    with pytest.raises(ValueError):
+        codec.decompress_batch([bytes(bad)] + blobs_s[1:])
