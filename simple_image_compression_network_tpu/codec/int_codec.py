@@ -398,8 +398,19 @@ def decompress_batch(params: Dict[str, jax.Array], streams: Sequence[bytes],
         words = np.stack([
             device_rans.words_from_bytes(chunk[off:], cap)
             for m in metas for chunk in m[2]])
+        # ONE combined host->device upload (counts as u16 halves +
+        # words): each separate transfer over the tunneled link costs a
+        # full RTT (same discipline as PipelinedDecoder)
+        n_str = true_counts.size
+        up = jnp.asarray(np.concatenate([
+            (true_counts & 0xFFFF).astype(np.uint16),
+            (true_counts >> 16).astype(np.uint16),
+            words.reshape(-1)]))
+        tc = (up[:n_str].astype(jnp.int32)
+              | (up[n_str: 2 * n_str].astype(jnp.int32) << 16))
+        wdev = up[2 * n_str:].reshape(words.shape)
         syms, ok = _device_decode_batch(
-            jnp.asarray(words), jnp.asarray(true_counts), lane_cdf,
+            wdev, tc, lane_cdf,
             t_steps=t_steps, impl=_decode_impl(n_lanes, cap))
         zj = syms.reshape(b, zx, zy, c)  # stays on device
         # schedule synthesis BEFORE the validity fetch: the ok check only
