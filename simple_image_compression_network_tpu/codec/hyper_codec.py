@@ -424,7 +424,7 @@ class HyperCodec:
                 max_abs=_Y_MAX_DEV, impl="scan")
             ycnt_np, yw_np = np.asarray(ycnt), None
 
-        def refetch(full, got, counts_np, pred):
+        def refetch(full, got, counts_np):
             """Re-fetch when the predictive bucket was too narrow (or a
             scan re-encode replaced the buffer)."""
             need = min(device_rans.bucket_words(int(counts_np.max())),
@@ -434,8 +434,8 @@ class HyperCodec:
                                  if need < full.shape[1] else full)
             return got, need
 
-        zw_np, self._mxb_z = refetch(zw, zw_np, zcnt_np, w_z)
-        yw_np, self._mxb_y = refetch(yw, yw_np, ycnt_np, w_y)
+        zw_np, self._mxb_z = refetch(zw, zw_np, zcnt_np)
+        yw_np, self._mxb_y = refetch(yw, yw_np, ycnt_np)
         z_chunks = device_rans.streams_from_words(
             zw_np, zcnt_np, t_z * nl_z, nl_z)
         y_chunks = device_rans.streams_from_words(

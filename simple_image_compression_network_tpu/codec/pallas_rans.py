@@ -79,15 +79,10 @@ def pick_g(s: int, pref: int = 8) -> int:
     """Streams per grid block.  Mosaic requires a block's sublane dim to
     be a multiple of 8 OR equal to the full array dim, so the old
     "largest divisor of S up to 8" choice produced invalid blocks for
-    stream counts like 12 (g=6).  Prefer 8; else the smallest multiple
-    of 8 dividing S; else one block covering all S streams (block dim ==
-    array dim is always legal; the VMEM guards take the actual g)."""
-    if s % pref == 0 and s >= pref:
-        return pref
-    for g in (16, 24, 32, 40, 48):
-        if g <= s and s % g == 0:
-            return g
-    return s
+    stream counts like 12 (g=6).  Prefer 8 when it divides S; otherwise
+    one block covering all S streams (block dim == array dim is always
+    legal; the VMEM guards take the actual g)."""
+    return pref if (s % pref == 0 and s >= pref) else s
 
 
 def max_supported_cap(n_lanes: int) -> int:
@@ -105,7 +100,12 @@ def decode_ctx_vmem_ok(t_steps: int, n_lanes: int, cap: int,
     fall back to the bit-identical lax.scan decoder."""
     if cap > max_supported_cap(n_lanes):
         return False
-    words = (cap + n_lanes) * 128 * 4
+    # The words block's minor (stream-group) axis is g, lane-padded to a
+    # multiple of 128 by Mosaic — pick_g can return a whole-array g > 128
+    # (any stream count not divisible by 8), so the padded width must use
+    # the ACTUAL g, not the single-vreg 128 floor.
+    g_lanes = 128 * max(1, -(-g // 128))
+    words = (cap + n_lanes) * g_lanes * 4
     blk = t_steps * g * n_lanes * 4
     return words + 4 * blk <= _ENCODE_VMEM_BUDGET
 
@@ -677,7 +677,10 @@ def encode_vmem_ok(t_steps: int, n_lanes: int, has_ctx: bool,
     blk = t_steps * g * n_lanes * 4
     n_in_blocks = 4 if has_ctx else 2      # (syms [+ctx]) double-buffered
     cap = default_encode_cap(t_steps, n_lanes)
-    stage = (cap + n_lanes) * 128 * 4
+    # staging block minor axis is g, lane-padded to a multiple of 128
+    # (same layout as the decode words window — see decode_ctx_vmem_ok)
+    g_lanes = 128 * max(1, -(-g // 128))
+    stage = (cap + n_lanes) * g_lanes * 4
     return n_in_blocks * blk + 2 * blk + stage <= _ENCODE_VMEM_BUDGET
 
 
