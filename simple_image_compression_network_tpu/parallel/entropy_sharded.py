@@ -209,6 +209,16 @@ class ShardedIntCodec:
         n_lanes = lm * c
         return zx, zy, c, s, lm, n_lanes, (zx * zy) // lm // s
 
+    def _tiles(self, xd: int, yd: int) -> bool:
+        """True iff this geometry's stream plan lands on tile boundaries.
+        (The int8 format has no escape side channel — latents are always
+        0..127, in-table — so geometry is the only sharded-path
+        precondition; see ``ShardedHyperCodec`` for the escape analog.)"""
+        zx = xd // 16
+        s, _ = self._int_codec.plan_streams(zx * (yd // 16),
+                                            self.lane_mult)
+        return s % self.n == 0 and zx % self.n == 0
+
     def _cdf(self, n_lanes: int) -> jax.Array:
         if n_lanes not in self._lane_cdfs:
             self._lane_cdfs[n_lanes] = jnp.asarray(
@@ -220,6 +230,13 @@ class ShardedIntCodec:
         from ..codec import container, device_rans
         from ..codec.int_codec import _pack_streams
         b, xd, yd, _ = x.shape
+        if not self._tiles(xd, yd):
+            # geometry whose stream plan does not tile over the mesh:
+            # transparently fall back to the single-chip codec (shared
+            # container format, so consumers cannot tell)
+            return self._int_codec.compress_batch(
+                self.params, x, self.cfg, static_cdfs=self.static_cdfs,
+                coder="device", lane_mult=self.lane_mult)
         zx, zy, c, s, lm, n_lanes, t_steps = self._plan(xd, yd)
         xs = spatial.shard_image(x, self.mesh)
         words, counts = compress_sharded(
@@ -252,6 +269,11 @@ class ShardedIntCodec:
                           _unpack_streams(payload)))
         assert all(m[0] == metas[0][0] for m in metas), "mixed geometries"
         (xd, yd, zx, zy, c) = metas[0][0]
+        if not self._tiles(xd, yd):
+            # same transparent single-chip fallback as compress_batch
+            return self._int_codec.decompress_batch(
+                self.params, blobs, static_cdfs=self.static_cdfs,
+                coder="device")
         zx2, zy2, c2, s, lm, n_lanes, t_steps = self._plan(xd, yd)
         assert (zx, zy, c) == (zx2, zy2, c2)
         off = ilrans.unpack_header(metas[0][1][0])[3]

@@ -19,9 +19,12 @@ Stream-to-chip mapping: image X is sharded n ways; with S = n * s_local
 spatial streams per tensor, chip k owns streams [k*s_local, (k+1)*s_local)
 — contiguous latent row-chunks, exactly the single-chip
 ``HyperCodec._compress_schedule`` split.  Containers are byte-identical
-to the single-chip device format (asserted in tests); escapes are not
-supported in the sharded path (they are ~2^-16 events; callers fall back
-to the single-chip codec for a batch whose escape count is nonzero).
+to the single-chip device format (asserted in tests).  Escapes (~2^-16
+events) are not codable by the sharded entropy stage itself: a batch
+whose escape count is nonzero transparently falls back to the
+single-chip codec on both sides (``compress_batch`` re-encodes it,
+``decompress_batch`` routes escape-bearing containers), so callers see
+one API with no escape-handling obligations.
 """
 
 from __future__ import annotations
@@ -211,10 +214,11 @@ class ShardedHyperCodec:
             y, ctx_y, y_cdf, t_steps=t_y, n_lanes=nl_y, s=s_y,
             max_abs=_Y_MAX_DEV)
         if int(np.asarray(z_esc)) or int(np.asarray(y_esc)):
-            raise ValueError(
-                "escape symbols in a sharded-entropy batch: code this "
-                "batch with the single-chip HyperCodec (escape side "
-                "sections are host-assembled and not sharded)")
+            # escape side sections are host-assembled and not sharded:
+            # transparently re-encode the whole batch on the single-chip
+            # codec (escapes are ~2^-16 events, so this path is cold; the
+            # container format is shared, so consumers cannot tell)
+            return self.codec.compress_batch(x)
         zcnt_np = np.asarray(zcnt).reshape(b * s_z)
         ycnt_np = np.asarray(ycnt).reshape(b * s_y)
         zw_np = np.asarray(zw).reshape(b * s_z, -1)
@@ -239,10 +243,13 @@ class ShardedHyperCodec:
         for data in blobs:
             cid, (hdr, z_pay, y_pay, z_raw, y_raw) = container.unpack(data)
             assert cid == container.CODEC_HYPERPRIOR_DEV
-            assert escape.unpack_raw(z_raw)[0].size == 0 and \
-                escape.unpack_raw(y_raw)[0].size == 0, (
-                    "escape-bearing containers need the single-chip "
-                    "decoder")
+            if (escape.unpack_raw(z_raw)[0].size
+                    or escape.unpack_raw(y_raw)[0].size):
+                # escape-bearing containers (produced by the single-chip
+                # fallback in compress_batch, or by a single-chip
+                # encoder) route to the single-chip decoder — same
+                # transparent fallback as the encode side
+                return self.codec.decompress_batch(blobs)
             metas.append((struct.unpack("<HHHHHHHH", hdr),
                           _unpack_streams(z_pay), _unpack_streams(y_pay)))
         assert all(m[0] == metas[0][0] for m in metas), "mixed geometries"

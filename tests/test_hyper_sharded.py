@@ -65,6 +65,43 @@ def test_sharded_hyper_byte_identical_and_exact(model_cls):
                                atol=1e-5)
 
 
+def test_sharded_hyper_escape_batch_falls_back(monkeypatch):
+    """An escape-bearing batch transparently routes to the single-chip
+    codec on BOTH sides of the sharded API (VERDICT r4 item 6): the
+    containers carry real escapes, roundtrip byte-correctly, and the
+    decoded latents match the single-chip encoder's exactly."""
+    from simple_image_compression_network_tpu.codec import (
+        container, escape)
+    # shrink the device alphabets so out-of-gamut input forces escapes
+    monkeypatch.setattr(hyper_codec, "_Y_MAX_DEV", 1)
+    monkeypatch.setattr(hyper_codec, "_Z_MAX", 1)
+    monkeypatch.setattr(hyper_sharded, "_Y_MAX_DEV", 1)
+    monkeypatch.setattr(hyper_sharded, "_Z_MAX", 1)
+    codec = _build(ScaleHyperprior)
+    codec.z_cdfs = hyper_codec.build_factorized_cdfs(
+        codec.model, codec.params, max_abs=1)
+    codec.y_cdfs_dev = hyper_codec.build_gaussian_cdfs(
+        codec.scale_table, 1)
+    mesh = meshlib.make_mesh((N_CHIPS,), ("x",))
+    sharded = hyper_sharded.ShardedHyperCodec(codec, mesh)
+    x = _images(1) * 9.0 - 4.0  # out-of-gamut -> latents beyond +-1
+
+    blobs = sharded.compress_batch(x)
+    n_raw = 0
+    for blob in blobs:
+        _, (_, _, _, z_raw, y_raw) = container.unpack(blob)
+        n_raw += escape.unpack_raw(z_raw)[0].size
+        n_raw += escape.unpack_raw(y_raw)[0].size
+    assert n_raw > 0, "test should force at least one escape"
+    assert blobs == codec.compress_batch(x), (
+        "fallback containers must be the single-chip bytes")
+
+    x_hat, y_hat = sharded.decompress_batch(blobs)
+    ysym, _, _, _ = codec._encode_dev_arrays(x)
+    np.testing.assert_array_equal(
+        np.asarray(y_hat), np.asarray(jnp.asarray(ysym, jnp.float32)))
+
+
 def test_sharded_hyper_corrupt_stream_raises():
     codec = _build(ScaleHyperprior)
     mesh = meshlib.make_mesh((N_CHIPS,), ("x",))

@@ -50,3 +50,22 @@ def test_sharded_int_codec_bytes_and_roundtrip(setup):
     bad[-3] ^= 0xFF
     with pytest.raises(ValueError):
         codec.decompress_batch([bytes(bad)] + blobs_s[1:])
+
+
+def test_sharded_int_codec_nontiling_mesh_falls_back(setup):
+    """A geometry whose stream plan does not tile over the mesh (zx=32
+    over 3 chips) transparently routes to the single-chip codec on both
+    sides — same containers, exact reconstruction (VERDICT r4 item 6:
+    graceful degradation instead of an assert)."""
+    params, cfg, x, cdfs = setup
+    mesh = meshlib.make_mesh((3,), ("x",))
+    codec = entropy_sharded.ShardedIntCodec(params, cdfs, mesh, cfg)
+    assert not codec._tiles(x.shape[1], x.shape[2])
+
+    blobs = codec.compress_batch(x)
+    blobs_1 = int_codec.compress_batch(params, x, cfg, static_cdfs=cdfs,
+                                       coder="device")
+    assert all(a == b for a, b in zip(blobs, blobs_1))
+    x_hat, _ = codec.decompress_batch(blobs)
+    direct = codec_int.eight_layers_net(params, x, cfg)
+    np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(direct))
