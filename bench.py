@@ -122,6 +122,83 @@ def measure_transform(params, args):
     return best
 
 
+def measure_device_chain(params, args, static_cdfs):
+    """Device-resident serving floor: words stay in HBM (VERDICT r4 #1).
+
+    Times the compiled analysis->encode->decode->synthesis chain
+    (codec/device_chain.py) with the dispatch-chained k-slope — the
+    steady-state floor of the architecture itself, independent of the
+    tunneled host link that bounds every e2e number.  Bit-exactness is
+    asserted in-loop (the roundtrip program compares z_hat == z inside
+    the jit) and against the direct autoencoder once.
+    """
+    import jax.numpy as jnp
+    from simple_image_compression_network_tpu.codec import device_chain
+    from simple_image_compression_network_tpu.utils import data as datalib
+
+    out = {}
+    best = None
+    for b in ([args.chain_batch] if args.chain_batch else [32, 96]):
+        x = jnp.asarray(datalib.synthetic_images(
+            b, 768, 512, seed=3).view(np.int8))
+        chain = device_chain.DeviceChain(params, static_cdfs, x)
+        exact_loop, exact_direct = chain.check(x)
+        w, cnt, _ = chain.encode(params, x)
+        t_enc = kernel_slope(lambda: chain.encode(params, x),
+                             lambda r: np.asarray(r[2]), k_hi=5)
+        t_dec = kernel_slope(lambda: chain.decode(params, w, cnt),
+                             lambda r: np.asarray(r[1]), k_hi=5)
+        t_rt = kernel_slope(lambda: chain.roundtrip(params, x),
+                            lambda r: np.asarray(r[0]), k_hi=5)
+        mp = b * 768 * 512 / 1e6
+        if args.verbose:
+            print(f"# device chain b={b}: enc {t_enc*1e3:.1f} ms, "
+                  f"dec {t_dec*1e3:.1f} ms, rt {t_rt*1e3:.1f} ms")
+        cand = {
+            "device_e2e_encode_mps": round(mp / t_enc, 1),
+            "device_e2e_decode_mps": round(mp / t_dec, 1),
+            "device_roundtrip_mps": round(mp / t_rt, 1),
+            "device_chain_batch": b,
+            "device_chain_ms": {"encode": round(t_enc * 1e3, 2),
+                                "decode": round(t_dec * 1e3, 2),
+                                "roundtrip": round(t_rt * 1e3, 2)},
+            "device_chain_exact": bool(exact_loop and exact_direct),
+        }
+        if best is None or (cand["device_roundtrip_mps"]
+                            > best["device_roundtrip_mps"]):
+            best = cand
+    out.update(best)
+    return out
+
+
+def sweep_codec_batch(params, args, static_cdfs):
+    """Pick the serving batch for the codec/hyper sections (VERDICT r4
+    #5): quick pipelined-encode windows at {32, 64, 96}; the winner
+    becomes args.codec_batch for every downstream section.  Returns the
+    per-batch MP/s map for the record."""
+    import jax.numpy as jnp
+    from simple_image_compression_network_tpu.codec import pipeline
+    from simple_image_compression_network_tpu.utils import data as datalib
+
+    rates = {}
+    for b in (32, 64, 96):
+        x = jnp.asarray(datalib.synthetic_images(
+            b, 768, 512, seed=3).view(np.int8))
+        enc = pipeline.PipelinedEncoder(params, static_cdfs, depth=2)
+        enc.submit(x)
+        enc.drain()  # warm/compile
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                enc.submit(x)
+            enc.drain()
+            ts.append((time.perf_counter() - t0) / 3)
+        rates[b] = round(b * 768 * 512 / 1e6 / min(ts), 1)
+    best = max(rates, key=rates.get)
+    return best, rates
+
+
 def measure_codec(params, args):
     """End-to-end bitstream numbers + RD on labeled synthetic content."""
     import jax
@@ -386,25 +463,28 @@ def measure_sharded(params, args):
     plain = jax.jit(lambda p, v, s: codec_int.eight_layers_net(
         p, v + s).astype(jnp.int32).sum())
 
-    def timeit(f, v):
+    def window(f, v):
+        s = jnp.int32(1)
+        t0 = time.perf_counter()
+        for _ in range(args.codec_iters * 3):
+            s = f(params, v, s.astype(jnp.int8))
+        np.asarray(s)
+        return (time.perf_counter() - t0) / (args.codec_iters * 3)
+
+    # warm/compile both programs first, then INTERLEAVE the windows
+    # (VERDICT r4 weak #6): the two programs see the same link weather,
+    # so the slow phases cancel out of the overhead ratio instead of
+    # landing on whichever program ran during them.
+    for f, v in ((sharded, xs), (plain, x)):
         s = jnp.int32(0)
         for _ in range(2):
             s = f(params, v, s.astype(jnp.int8))
         np.asarray(s)
-        ts = []
-        for _ in range(3):  # median window (link weather, VERDICT r3 #7)
-            s = jnp.int32(1)
-            t0 = time.perf_counter()
-            for _ in range(args.codec_iters * 3):
-                s = f(params, v, s.astype(jnp.int8))
-            np.asarray(s)
-            ts.append((time.perf_counter() - t0) / (args.codec_iters * 3))
-        return sorted(ts)[1]
-
-    # interleave would be better still, but median windows already tame
-    # the minutes-scale weather that once reported -58% "overhead"
-    t_sh = timeit(sharded, xs)
-    t_pl = timeit(plain, x)
+    t_shs, t_pls = [], []
+    for _ in range(3):
+        t_shs.append(window(sharded, xs))
+        t_pls.append(window(plain, x))
+    t_sh, t_pl = sorted(t_shs)[1], sorted(t_pls)[1]
     mp = b * 768 * 512 / 1e6
     return {"sharded_1dev_mps": round(mp / t_sh, 1),
             "sharded_overhead_pct": round(100.0 * (t_sh - t_pl) / t_pl, 1)}
@@ -416,7 +496,11 @@ def main():
                     help="transform batch (0 = autotune over {1,8,16,32})")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--codec-batch", type=int, default=32)
+    ap.add_argument("--codec-batch", type=int, default=0,
+                    help="serving batch for the codec/hyper sections "
+                         "(0 = quick sweep over {32, 64, 96})")
+    ap.add_argument("--chain-batch", type=int, default=0,
+                    help="device-resident chain batch (0 = autotune)")
     ap.add_argument("--codec-iters", type=int, default=3)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -433,7 +517,28 @@ def main():
 
     best_mps, best_b, best_dt = measure_transform(params, args)
 
-    extra = {}
+    cdfs_path = os.path.join(ROOT, "checkpoints", "latent_cdfs.npz")
+    static_cdfs = (np.load(cdfs_path)["cdfs"]
+                   if os.path.exists(cdfs_path) else None)
+
+    chain_extra = {}
+    if static_cdfs is not None and jax.default_backend() == "tpu":
+        if not args.codec_batch:
+            try:
+                args.codec_batch, rates = sweep_codec_batch(
+                    params, args, static_cdfs)
+                chain_extra["codec_batch_sweep"] = {
+                    str(k): v for k, v in rates.items()}
+            except Exception as e:
+                args.codec_batch = 32
+                chain_extra["codec_sweep_error"] = repr(e)[:200]
+        try:
+            chain_extra.update(
+                measure_device_chain(params, args, static_cdfs))
+        except Exception as e:
+            chain_extra["device_chain_error"] = repr(e)[:200]
+    elif not args.codec_batch:
+        args.codec_batch = 32
     for attempt in range(3):
         try:
             extra = measure_codec(params, args)
@@ -448,6 +553,7 @@ def main():
                 break
             time.sleep(5 * (attempt + 1))
 
+    extra.update(chain_extra)
     try:
         extra.update(measure_sharded(params, args))
     except Exception as e:
