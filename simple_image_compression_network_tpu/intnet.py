@@ -1,0 +1,287 @@
+"""Wrap-semantics QAT: train int4-weight weights FOR the exact integer net.
+
+The reference ships trained weights whose bit-exact forward reconstructs at
+7-8.7 dB — a property of training that ignored the hardware's mod-256
+accumulator wrap (``conv_nonsquare_top.cpp:174,261``) and MSB-ReLU
+(``:267-278``).  This module trains the SAME topology (``config_nonsquare.h``)
+through the exact integer path itself, so the shipped weights are good *under
+the deployed semantics* — the strongest "beats the reference at its own game"
+statement the build can make (VERDICT r4 next #2).
+
+Mechanics
+---------
+* **Float shadow weights** ``wf``/``bf`` with straight-through int4/int8
+  quantization (round+clip; gradient = identity inside the clip range).
+* **Exact forward value, float gradients**: each layer computes the float
+  accumulator (for the backward pass) AND the exact integer layer from
+  ``ops/conv_int.py``; the returned value is
+  ``exact + (grad_path - stop_grad(grad_path))`` so the forward pass IS the
+  deployed bit-exact net while gradients flow through the float path.  The
+  wrap's true a.e. derivative is 1 (it is a shifted identity on every
+  interval), so the float path's gradient is the wrap-aware gradient, not an
+  approximation.
+* **Two accumulator modes**:
+  - ``"clip"``  — pretraining: the epilogue clips ``acc+b`` to [0,127]
+    instead of wrapping.  Continuous-at-the-boundary, so optimization finds
+    an in-window basin without mod-256 cliff noise.  Combined with the
+    out-of-window penalty this drives the network into the regime where
+    clip == wrap.
+  - ``"wrap"``  — the reference's exact semantics (wrap then MSB-ReLU),
+    identity-STE through the wrap.  Fine-tuning stage and final contract.
+* **Out-of-window penalty**: mean ReLU(|acc+b| - 127)/128 per layer.  Under
+  wrap semantics a value outside [-128,127] aliases mod 256; the penalty is
+  the Lagrangian that makes the clip-mode solution valid wrap-mode.
+* **Dynamic-range contract**: the net input is ``x >> 1`` (0..127) and the
+  display map is ``2*y`` — post-MSB-ReLU activations live in [0,127], so a
+  full-range uint8 input could never be reproduced anyway (the reference's
+  own output is capped at 127).  Halving costs a 51.1 dB PSNR ceiling
+  (quantization error in {0,1}), far above anything this topology reaches,
+  and gives input and reconstruction the same 0..127 domain.  The shift is
+  host-side preprocessing, like RGB<->YUV in a conventional codec; the int
+  net semantics are unchanged.
+* **Rate**: ``codec/entropy.FactorizedEntropy`` over the 192-channel latent
+  (continuous proxy; the shipped codec uses histogram static CDFs via
+  ``int_codec.build_static_cdfs`` exactly like the reference-weight path).
+
+Params pytree: {"w0".."w7": f32 [O,k,k,I], "b0".."b7": f32 [O],
+                "ent": FactorizedEntropy variables}.
+``export_int_params`` rounds the shadows into the int8 npz layout of
+``checkpoints/reference_weights.npz``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+from .codec.entropy import FactorizedEntropy
+from .config import ModelConfig, REFERENCE_NET
+from .ops import conv_int
+
+DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def ste_round_clip(v: jax.Array, lo: float, hi: float) -> jax.Array:
+    """round+clip with straight-through gradients (identity inside clip)."""
+    q = jnp.clip(jnp.round(v), lo, hi)
+    return v + lax.stop_gradient(q - v)
+
+
+def _w_hwio_f(w: jax.Array) -> jax.Array:
+    return jnp.transpose(w, (1, 2, 3, 0))
+
+
+def _layer(x: jax.Array, wf: jax.Array, bf: jax.Array, transposed: bool,
+           mode: str) -> Tuple[jax.Array, jax.Array]:
+    """One exact-int-forward / float-backward layer.
+
+    x: f32 holding exact ints in [0, 255] (continuous in "float" mode).
+    Returns (y f32 ints in [0,127], out-of-window penalty scalar).
+
+    Modes: "float" — fully continuous relaxation (no rounding, clip
+    epilogue); measures the architecture's reachable ceiling and gives the
+    quantized phases a trained basin.  "clip" — exact integer forward with
+    a clip epilogue (continuous at the boundary).  "wrap" — the reference's
+    exact mod-256 semantics.
+    """
+    if mode == "float":
+        wq = jnp.clip(wf, -8.0, 7.0)       # int4 magnitude, no rounding
+        bq = jnp.clip(bf, -128.0, 127.0)
+    else:
+        wq = ste_round_clip(wf, -8.0, 7.0)  # ap_int<4>, weights.hpp
+        bq = ste_round_clip(bf, -128.0, 127.0)
+
+    # float accumulator (gradient path) — mirrors conv_int's algebra exactly
+    if transposed:
+        k = wf.shape[1]
+        lo = k - 2 - 1
+        acc_f = lax.conv_general_dilated(
+            x, _w_hwio_f(wq), window_strides=(1, 1),
+            padding=[(lo, lo + 1), (lo, lo + 1)], lhs_dilation=(2, 2),
+            dimension_numbers=DIMNUMS)
+    else:
+        acc_f = lax.conv_general_dilated(
+            x, _w_hwio_f(wq), window_strides=(2, 2),
+            padding=[(2, 2), (2, 2)], dimension_numbers=DIMNUMS)
+    acc_f = acc_f + bq
+
+    if mode == "float":
+        # continuous relaxation: hard-clip window epilogue, no int path
+        y = jnp.clip(acc_f, 0.0, 127.0)
+        pen = jnp.mean(jax.nn.relu(jnp.abs(acc_f) - 127.0) / 128.0)
+        return y, pen
+
+    # exact integer path (value path, no gradients)
+    xi = conv_int.to_wire_int8(
+        lax.stop_gradient(x).astype(jnp.uint8))
+    wi = lax.stop_gradient(wq).astype(jnp.int8)
+    bi = lax.stop_gradient(bq).astype(jnp.int32)
+    if transposed:
+        acc_i = conv_int.deconv2d_int8_acc(xi, wi)
+    else:
+        acc_i = conv_int.conv2d_int8_acc(xi, wi)
+    acc_b = acc_i + bi
+    if mode == "wrap":
+        pre = conv_int.wrap_to_int8(acc_b).astype(jnp.int32)
+        # wrap is a shifted identity on every interval: d pre / d acc = 1
+        # a.e., so only the MSB-ReLU gates the gradient.
+        mask = (pre >= 0).astype(jnp.float32)
+    elif mode == "clip":
+        pre = jnp.clip(acc_b, -128, 127)
+        # saturated units (acc > 127) have ZERO derivative — passing
+        # gradient there lets the MSE term grow weights forever with no
+        # effect on the forward (observed divergence in the first trial).
+        mask = ((pre >= 0) & (acc_b < 128)).astype(jnp.float32)
+    else:
+        raise ValueError(mode)
+    y_exact = jnp.maximum(pre, 0).astype(jnp.float32)
+
+    grad_path = mask * acc_f
+    y = y_exact + (grad_path - lax.stop_gradient(grad_path))
+    # out-of-window fraction penalty: the term that makes clip == wrap.
+    # Use the float acc (value ~= exact by construction) so it stays smooth.
+    pen = jnp.mean(jax.nn.relu(jnp.abs(acc_f) - 127.0) / 128.0)
+    return y, pen
+
+
+def forward(params: Dict[str, Any], x_half: jax.Array,
+            cfg: ModelConfig = REFERENCE_NET, *, mode: str = "wrap"
+            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """x_half: f32 ints in [0,127] (the >>1 wire input).
+
+    Returns (x_hat f32 ints [0,127], latent z f32 ints [0,127], total
+    out-of-window penalty)."""
+    h = x_half
+    pens = []
+    n_analysis = len(cfg.analysis)
+    for i, layer in enumerate(cfg.layers):
+        h, p = _layer(h, params[f"w{i}"], params[f"b{i}"], layer.transposed,
+                      mode)
+        pens.append(p)
+        if i == n_analysis - 1:
+            z = h
+    return h, z, sum(pens)
+
+
+@dataclasses.dataclass(frozen=True)
+class IntNetTrainConfig:
+    rd_lambda: float = 0.03
+    oob_weight: float = 1.0
+    mode: str = "wrap"            # "float" | "clip" | "wrap"
+    lr: float = 5e-3
+    crop: int = 256
+    batch: int = 8
+    ent_init_scale: float = 60.0  # latent symbols span 0..127
+
+
+def init_params(cfg: IntNetTrainConfig, key: jax.Array,
+                net: ModelConfig = REFERENCE_NET) -> Dict[str, Any]:
+    """Small-magnitude init: most weights round to {-1,0,1}, so the first
+    steps see few wrap events and gradients are informative."""
+    params: Dict[str, Any] = {}
+    for i, layer in enumerate(net.layers):
+        key, k1 = jax.random.split(key)
+        fan_in = layer.kernel ** 2 * layer.in_ch
+        std = max(0.3, 24.0 / np.sqrt(fan_in))
+        params[f"w{i}"] = std * jax.random.normal(
+            k1, layer.weight_shape, jnp.float32)
+        params[f"b{i}"] = jnp.zeros((layer.out_ch,), jnp.float32)
+    ent = FactorizedEntropy(net.latent_shape[-1],
+                            init_scale=cfg.ent_init_scale)
+    key, k2 = jax.random.split(key)
+    z0 = jnp.zeros((1, 4, 4, net.latent_shape[-1]), jnp.float32)
+    params["ent"] = ent.init(k2, z0)
+    # learned display map (container-header constants, applied host-side on
+    # decode like a dequantization step): x_disp = disp_a * y + disp_b.
+    # Lets the net work at small internal amplitude where the 8-bit window
+    # constraint is loose; the optimizer trades amplitude against the
+    # quantization noise the gain amplifies.
+    params["disp_a"] = jnp.full((3,), 2.0, jnp.float32)
+    params["disp_b"] = jnp.zeros((3,), jnp.float32)
+    return params
+
+
+def loss_fn(params: Dict[str, Any], batch_u8: jax.Array,
+            cfg: IntNetTrainConfig, net: ModelConfig
+            ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """batch_u8: f32 ints in [0,255] (N, X, Y, 3) original intensities."""
+    x_half = jnp.floor(batch_u8 / 2.0)
+    ent = FactorizedEntropy(net.latent_shape[-1],
+                            init_scale=cfg.ent_init_scale)
+    x_hat, z, oob = forward(params, x_half, net, mode=cfg.mode)
+    bits = ent.apply(params["ent"], z)
+    num_pixels = batch_u8.shape[0] * batch_u8.shape[1] * batch_u8.shape[2]
+    bpp = bits / num_pixels
+    # learned display map: x_disp = disp_a * y + disp_b (header constants)
+    disp = params["disp_a"] * x_hat + params["disp_b"]
+    mse01 = jnp.mean(jnp.square(disp - batch_u8)) / 255.0 ** 2
+    loss = bpp + cfg.rd_lambda * (255.0 ** 2) * mse01 + cfg.oob_weight * oob
+    return loss, {"loss": loss, "bpp": bpp, "mse": mse01, "oob": oob,
+                  "psnr": -10.0 * jnp.log10(jnp.maximum(mse01, 1e-12))}
+
+
+def build_optimizer(cfg: IntNetTrainConfig) -> optax.GradientTransformation:
+    return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+
+
+def make_train_block(cfg: IntNetTrainConfig, net: ModelConfig, n_steps: int):
+    """K fused steps with device-side uint8 crop sampling (one dispatch per
+    K steps — the tunneled-TPU discipline of ``train.make_train_block``)."""
+    tx = build_optimizer(cfg)
+
+    def sample(bank: jax.Array, key: jax.Array) -> jax.Array:
+        n, x, y, _ = bank.shape
+        ki, kx, ky = jax.random.split(key, 3)
+        idx = jax.random.randint(ki, (cfg.batch,), 0, n)
+        ox = jax.random.randint(kx, (cfg.batch,), 0, x - cfg.crop + 1)
+        oy = jax.random.randint(ky, (cfg.batch,), 0, y - cfg.crop + 1)
+
+        def one(i, sx, sy):
+            return lax.dynamic_slice(bank, (i, sx, sy, 0),
+                                     (1, cfg.crop, cfg.crop, 3))[0]
+
+        return jax.vmap(one)(idx, ox, oy).astype(jnp.float32)
+
+    def step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, cfg, net)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    def block(params, opt_state, bank, key):
+        zero = {"loss": 0.0, "bpp": 0.0, "mse": 0.0, "oob": 0.0, "psnr": 0.0}
+
+        def body(i, carry):
+            p, o, acc = carry
+            kk = jax.random.fold_in(key, i)
+            p, o, m = step(p, o, sample(bank, kk))
+            return p, o, {k: acc[k] + m[k] for k in acc}
+
+        params, opt_state, tot = lax.fori_loop(
+            0, n_steps, body, (params, opt_state, zero))
+        return params, opt_state, {k: v / n_steps for k, v in tot.items()}
+
+    return block
+
+
+def export_int_params(params: Dict[str, Any],
+                      net: ModelConfig = REFERENCE_NET
+                      ) -> Dict[str, np.ndarray]:
+    """Shadow floats -> the int8 npz layout of reference_weights.npz."""
+    out: Dict[str, np.ndarray] = {}
+    for i in range(len(net.layers)):
+        out[f"w{i}"] = np.clip(np.round(np.asarray(params[f"w{i}"])),
+                               -8, 7).astype(np.int8)
+        out[f"b{i}"] = np.clip(np.round(np.asarray(params[f"b{i}"])),
+                               -128, 127).astype(np.int8)
+    # display-map header constants (float; applied host-side on decode)
+    out["disp_a"] = np.asarray(params["disp_a"], np.float32)
+    out["disp_b"] = np.asarray(params["disp_b"], np.float32)
+    return out

@@ -50,14 +50,16 @@ def synthetic_images(n: int, x: int, y: int, seed: int = 0,
 
 def bundled_photos() -> List[np.ndarray]:
     """Real photographs bundled with installed packages, EXCLUDING every
-    image in ``.evalset/`` (scripts/make_evalset.py) so training content
-    stays disjoint from the RD eval set: sklearn ships two 427x640
-    photos (china.jpg, flower.jpg)."""
+    source used by the RD eval set (scripts/make_evalset.py).
+
+    sklearn ships two 427x640 photos; flower.jpg moved to the eval set in
+    round 5 (VERDICT r4 #3), so only china.jpg may feed training.  The
+    pygame camera_*/intro_* and matplotlib grace_hopper images are eval
+    sources and must never appear here (tests/test_data.py asserts this)."""
     out: List[np.ndarray] = []
     try:
-        from sklearn.datasets import load_sample_images
-        for img in load_sample_images().images:
-            out.append(np.asarray(img, np.uint8))
+        from sklearn.datasets import load_sample_image
+        out.append(np.asarray(load_sample_image("china.jpg"), np.uint8))
     except Exception:
         pass
     return out
