@@ -439,6 +439,59 @@ def measure_hyper(args):
     return out
 
 
+def measure_wavelet(args):
+    """The trained/constructed wavelet integer codec (VERDICT r4 #2): a
+    USEFUL bit-exact operating point under the reference's own wrap
+    semantics.  Reports the flagship profile's synthetic-content RD +
+    serving rate, and the real-image eval-set aggregate when .evalset is
+    built (the full per-profile table lives in docs/RESULTS.md)."""
+    import glob
+    from simple_image_compression_network_tpu.codec import wavelet_codec
+    from simple_image_compression_network_tpu.utils import data as datalib
+
+    out = {}
+    codec = wavelet_codec.WaveletCodec()
+    b = args.codec_batch
+    imgs = datalib.synthetic_images(b, 768, 512, seed=3)
+    t_enc, blobs = timed_median(lambda: codec.compress_batch(imgs),
+                                args.codec_iters)
+
+    def dec():
+        rec, x_hat = codec.decompress_batch(blobs)
+        return rec
+
+    t_dec, rec = timed_median(dec, args.codec_iters)
+    m = codec.roundtrip_metrics(imgs)
+    mp = b * 768 * 512 / 1e6
+    out.update({
+        "wavelet_profile": codec.profile,
+        "wavelet_encode_mps": round(mp / t_enc, 1),
+        "wavelet_decode_mps": round(mp / t_dec, 1),
+        "wavelet_bpp": m["bpp"],
+        "wavelet_psnr_db": m["psnr_db"],
+        "wavelet_decode_bit_exact": m["decode_bit_exact"],
+    })
+    frames = sorted(glob.glob(os.path.join(ROOT, ".evalset", "*.png")))
+    if frames:
+        tot_b = tot_px = 0.0
+        mses = []
+        for f in frames:
+            img = datalib.load_image(f)[None]
+            fb = codec.compress_batch(img)
+            frec, _ = codec.decompress_batch(fb)
+            mses.append(np.mean((frec.astype(np.float64)
+                                 - img.astype(np.float64)) ** 2))
+            tot_b += sum(len(s) for s in fb)
+            tot_px += img.shape[1] * img.shape[2]
+        out.update({
+            "wavelet_eval_bpp": round(8.0 * tot_b / tot_px, 3),
+            "wavelet_eval_psnr_db": round(10.0 * np.log10(
+                255.0 ** 2 / float(np.mean(mses))), 2),
+            "wavelet_eval_frames": len(frames),
+        })
+    return out
+
+
 def measure_sharded(params, args):
     """Sharded transform on a 1-device mesh: halo/shard_map overhead.
 
@@ -563,6 +616,11 @@ def main():
         extra.update(measure_hyper(args))
     except Exception as e:
         extra["hyper_error"] = repr(e)[:200]
+
+    try:
+        extra.update(measure_wavelet(args))
+    except Exception as e:
+        extra["wavelet_error"] = repr(e)[:200]
 
     # the tunneled chip has minutes-scale slow phases (host link + remote
     # dispatch weather): re-measure the transform at the end of the run
