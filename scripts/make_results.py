@@ -16,6 +16,8 @@ import json
 import os
 import sys
 
+import numpy as np
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
@@ -28,6 +30,10 @@ def latest_ckpt(d):
 
 def eval_all(base, run):
     run("int8 reference-semantics codec", base + ["--codec", "int8"])
+
+    for prof in ("haar-rgb", "haar", "haar422", "haar420"):
+        run(f"wavelet integer codec ({prof}, bit-exact)",
+            base + ["--codec", "wavelet", "--profile", prof])
 
     def sweep(pattern, codec, label):
         seen = set()
@@ -110,11 +116,39 @@ def main():
         for label, bpp, psnr in rows:
             lines.append(f"| {label} | {bpp:.3f} | {psnr:.2f} |")
         lines.append("")
+        # seed-variance summary (VERDICT r4 #4): rows like
+        # "... (lambda=0.01)" (seed 0) + "... (lambda=0.01_s1/_s2)"
+        groups = {}
+        for label, bpp, psnr in rows:
+            if "(lambda=" not in label:
+                continue
+            base = label.split("(lambda=")[0].strip()
+            lam = label.split("(lambda=")[1].rstrip(")")
+            lam_base = lam.split("_s")[0]
+            groups.setdefault((base, lam_base), []).append((bpp, psnr))
+        var_lines = []
+        for (base, lam), vals in sorted(groups.items()):
+            if len(vals) < 2:
+                continue
+            bpps = [v[0] for v in vals]
+            psnrs = [v[1] for v in vals]
+            var_lines.append(
+                f"- {base} lambda={lam} over {len(vals)} seeds: "
+                f"bpp {np.mean(bpps):.3f} ± {np.ptp(bpps) / 2:.3f}, "
+                f"PSNR {np.mean(psnrs):.2f} ± {np.ptp(psnrs) / 2:.2f} dB")
+        if var_lines:
+            lines += ["Seed variance (mean ± half-range):", ""]
+            lines += var_lines + [""]
     lines += [
         "Notes:",
         "- int8 codec: bit-exact with the reference integer semantics",
         "  (mod-256 wrap, int4 weights); its PSNR is a property of the",
         "  reference's own trained network, reported honestly.",
+        "- wavelet rows: the SAME bit-exact integer semantics and",
+        "  topology with this repo's constructive Haar-wavelet weights",
+        "  (intnet_haar.py) — sampling DC + offset-difference details +",
+        "  integer-bilinear synthesis; profiles differ in wire color",
+        "  transform (RGB>>2 vs YCoCg) and kept chroma detail channels.",
         "- hyperprior rows: trained in this repo on the mixed-content",
         "  bank (real-photo crops disjoint from this eval set + sloped",
         "  1/f + edges + textures; 50k steps per lambda,",

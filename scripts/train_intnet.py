@@ -65,6 +65,14 @@ def main():
     ap.add_argument("--resume", default=None,
                     help="msgpack shadow checkpoint to resume from "
                          "(skips the clip phase)")
+    ap.add_argument("--init-haar", default=None, dest="init_haar",
+                    help="initialize shadows from a constructive wavelet "
+                         "profile (codec/wavelet_codec.py PROFILES name); "
+                         "skips the float/clip phases and fine-tunes in "
+                         "wrap mode on the profile's wire domain")
+    ap.add_argument("--wire", default=None, choices=["half", "ycocg"],
+                    help="wire domain (default: half, or ycocg when "
+                         "--init-haar)")
     ap.add_argument("--out", default="intnet_trained")
     args = ap.parse_args()
 
@@ -81,8 +89,9 @@ def main():
     enable_compile_cache()
     net = reference_net_for_input(args.crop, args.crop)
     key = jax.random.key(args.seed)
+    wire = args.wire or ("ycocg" if args.init_haar else "half")
     base = dict(rd_lambda=args.rd_lambda, lr=args.lr, crop=args.crop,
-                batch=args.batch)
+                batch=args.batch, wire=wire)
     cfg_float = intnet.IntNetTrainConfig(mode="float",
                                          oob_weight=args.oob_pre, **base)
     cfg_pre = intnet.IntNetTrainConfig(mode="clip", oob_weight=args.oob_pre,
@@ -93,13 +102,24 @@ def main():
     if args.resume:
         params = train_ckpt.restore_params(args.resume, params)
         print(f"resumed shadows from {args.resume}")
+    elif args.init_haar:
+        from simple_image_compression_network_tpu import intnet_haar
+        from simple_image_compression_network_tpu.codec.wavelet_codec import (
+            PROFILES)
+        spec = PROFILES[args.init_haar]
+        hp = intnet_haar.haar_params(net, det2_keep=spec["det2_keep"])
+        for k, v in hp.items():
+            if not k.startswith("disp"):
+                params[k] = jnp.asarray(v, jnp.float32)
+        print(f"initialized shadows from wavelet profile {args.init_haar}")
 
     bank = jnp.asarray(datalib.training_bank(48, 512, 512, seed=args.seed))
 
-    if args.float_steps and not args.resume:
+    skip_pre = bool(args.resume or args.init_haar)
+    if args.float_steps and not skip_pre:
         params = run_phase(cfg_float, net, params, bank, jax.random.fold_in(
             key, 3), args.float_steps, args.log_every, "float")
-    if args.pretrain and not args.resume:
+    if args.pretrain and not skip_pre:
         params = run_phase(cfg_pre, net, params, bank, jax.random.fold_in(
             key, 1), args.pretrain, args.log_every, "clip")
     params = run_phase(cfg_wrap, net, params, bank, jax.random.fold_in(
@@ -117,8 +137,13 @@ def main():
     # domain the trained net sees.
     from simple_image_compression_network_tpu.codec import int_codec
     imgs = datalib.training_bank(8, 256, 256, seed=args.seed + 7)
-    batches = [jnp.asarray((imgs[i:i + 1] // 2).view(np.int8))
-               for i in range(8)]
+    if wire == "ycocg":
+        from simple_image_compression_network_tpu import intnet_haar
+        batches = [jnp.asarray(intnet_haar.to_wire_ycocg(imgs[i:i + 1]))
+                   for i in range(8)]
+    else:
+        batches = [jnp.asarray((imgs[i:i + 1] // 2).view(np.int8))
+                   for i in range(8)]
     iparams = {k: jnp.asarray(v) for k, v in ints.items()}
     cdfs = int_codec.build_static_cdfs(
         iparams, batches, reference_net_for_input(256, 256))

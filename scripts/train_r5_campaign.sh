@@ -10,12 +10,12 @@ set -x
 cd "$(dirname "$0")/.."
 
 python scripts/train_release.py --steps 50000 --ckpt-root /tmp/runs_r5 \
-    2>&1 | grep -v WARNING
+   
 
 for SEED in 1 2; do
   for M in hyperprior:scale meanscale:meanscale; do
     MODEL=${M%%:*}; NAME=${M##*:}
-    python - <<EOF 2>&1 | grep -v WARNING
+    python - <<EOF
 import sys
 sys.argv = ["x"]
 from simple_image_compression_network_tpu import train_loop

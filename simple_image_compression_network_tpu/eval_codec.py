@@ -71,6 +71,29 @@ def eval_int_codec(images: List[np.ndarray], params,
     }
 
 
+def eval_wavelet_codec(images: List[np.ndarray], profile: str
+                       ) -> Dict[str, float]:
+    """The wavelet integer codec (intnet_haar profiles): bit-exact under
+    the reference's wrap semantics, uint8 in / uint8 out."""
+    from .codec.wavelet_codec import WaveletCodec
+    codec = WaveletCodec(profile)
+    rows = []
+    for img in images:
+        padded = _pad_to_16(img)
+        blobs = codec.compress_batch(padded[None])
+        rec, _ = codec.decompress_batch(blobs)
+        recon = rec[0, :img.shape[0], :img.shape[1]]
+        rows.append({
+            "bpp": 8.0 * len(blobs[0]) / (img.shape[0] * img.shape[1]),
+            "psnr": psnr(img, recon),
+        })
+    return {
+        "bpp": float(np.mean([r["bpp"] for r in rows])),
+        "psnr": float(np.mean([r["psnr"] for r in rows])),
+        "per_image": rows,
+    }
+
+
 def eval_hyper_codec(images: List[np.ndarray], codec) -> Dict[str, float]:
     rows = []
     for img in images:
@@ -97,9 +120,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default=None)
     ap.add_argument("--codec", default="int8",
-                    choices=["int8", "hyperprior", "meanscale"])
+                    choices=["int8", "hyperprior", "meanscale", "wavelet"])
     ap.add_argument("--ckpt", default=None,
                     help="training checkpoint for the hyperprior codec")
+    ap.add_argument("--profile", default="haar422",
+                    help="wavelet codec profile (codec/wavelet_codec.py)")
     ap.add_argument("--n-synthetic", type=int, default=4)
     args = ap.parse_args(argv)
 
@@ -119,6 +144,8 @@ def main(argv=None):
         static_cdfs = (np.load(cdfs_path)["cdfs"]
                        if os.path.exists(cdfs_path) else None)
         res = eval_int_codec(images, params, static_cdfs=static_cdfs)
+    elif args.codec == "wavelet":
+        res = eval_wavelet_codec(images, args.profile)
     else:
         from . import train
         from .codec.hyper_codec import HyperCodec, MeanScaleCodec

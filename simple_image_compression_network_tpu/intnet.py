@@ -174,10 +174,36 @@ class IntNetTrainConfig:
     rd_lambda: float = 0.03
     oob_weight: float = 1.0
     mode: str = "wrap"            # "float" | "clip" | "wrap"
+    wire: str = "half"            # "half" (x>>1, learned display) |
+    #                               "ycocg" (intnet_haar wire profile,
+    #                               fixed display)
     lr: float = 5e-3
     crop: int = 256
     batch: int = 8
     ent_init_scale: float = 60.0  # latent symbols span 0..127
+
+
+def _jnp_wire_ycocg(batch_u8: jax.Array) -> jax.Array:
+    """jnp mirror of intnet_haar.to_wire_ycocg (f32 ints in, f32 ints out;
+    no gradient flows through the input quantization)."""
+    r, g, b = batch_u8[..., 0], batch_u8[..., 1], batch_u8[..., 2]
+    w0 = jnp.floor(jnp.floor(0.25 * r + 0.5 * g + 0.25 * b) / 4.0)
+    w1 = jnp.floor((r - b + 256.0) / 8.0)
+    w2 = jnp.floor((jnp.floor(g - 0.5 * (r + b)) + 256.0) / 8.0)
+    return jnp.clip(jnp.stack([w0, w1, w2], axis=-1), 0.0, 63.0)
+
+
+def _jnp_display_ycocg(y_out: jax.Array, out_scale: float = 2.0
+                       ) -> jax.Array:
+    """jnp mirror of intnet_haar.display_ycocg, without the border
+    compensation and uint8 rounding (training surrogate)."""
+    yv = y_out / out_scale
+    lum = 4.0 * yv[..., 0] + 1.5
+    co = 8.0 * yv[..., 1] - 256.0 + 3.5
+    cg = 8.0 * yv[..., 2] - 256.0 + 3.5
+    tmp = lum - 0.5 * cg
+    return jnp.stack([tmp + 0.5 * co, lum + 0.5 * cg, tmp - 0.5 * co],
+                     axis=-1)
 
 
 def init_params(cfg: IntNetTrainConfig, key: jax.Array,
@@ -211,15 +237,21 @@ def loss_fn(params: Dict[str, Any], batch_u8: jax.Array,
             cfg: IntNetTrainConfig, net: ModelConfig
             ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """batch_u8: f32 ints in [0,255] (N, X, Y, 3) original intensities."""
-    x_half = jnp.floor(batch_u8 / 2.0)
+    if cfg.wire == "ycocg":
+        x_in = _jnp_wire_ycocg(batch_u8)
+    else:
+        x_in = jnp.floor(batch_u8 / 2.0)
     ent = FactorizedEntropy(net.latent_shape[-1],
                             init_scale=cfg.ent_init_scale)
-    x_hat, z, oob = forward(params, x_half, net, mode=cfg.mode)
+    x_hat, z, oob = forward(params, x_in, net, mode=cfg.mode)
     bits = ent.apply(params["ent"], z)
     num_pixels = batch_u8.shape[0] * batch_u8.shape[1] * batch_u8.shape[2]
     bpp = bits / num_pixels
-    # learned display map: x_disp = disp_a * y + disp_b (header constants)
-    disp = params["disp_a"] * x_hat + params["disp_b"]
+    if cfg.wire == "ycocg":
+        disp = _jnp_display_ycocg(x_hat)
+    else:
+        # learned display map: x_disp = disp_a * y + disp_b (header consts)
+        disp = params["disp_a"] * x_hat + params["disp_b"]
     mse01 = jnp.mean(jnp.square(disp - batch_u8)) / 255.0 ** 2
     loss = bpp + cfg.rd_lambda * (255.0 ** 2) * mse01 + cfg.oob_weight * oob
     return loss, {"loss": loss, "bpp": bpp, "mse": mse01, "oob": oob,
