@@ -65,6 +65,39 @@ def bundled_photos() -> List[np.ndarray]:
     return out
 
 
+_SCREEN_SOURCES = (
+    # pygame-docs tutorial screenshots NOT used by any eval frame and not
+    # sharing a scene with one (the eval screens are Battleship1 /
+    # introduction-TPS / Bagic-INPUT-resultscreen / introduction-PuyoPuyo;
+    # scripts/make_evalset.py): real raster screen content for the bank.
+    "pygame/docs/generated/_images/tom_basic.png",
+    "pygame/docs/generated/_images/tom_event-flowchart.png",
+    "pygame/docs/generated/_images/tom_formulae.png",
+    "pygame/docs/generated/_images/tom_radians.png",
+    "pygame/docs/generated/_images/draw_module_example.png",
+    "pygame/docs/generated/_images/joystick_calls.png",
+    "pygame/docs/generated/_images/Basic-ouput-sourcecode.png",
+)
+
+
+def bundled_screens() -> List[np.ndarray]:
+    """Screen-content rasters bundled with installed packages, disjoint
+    from every eval-set scene (tests/test_data.py)."""
+    import glob as globlib
+    import sys
+    out: List[np.ndarray] = []
+    for rel in _SCREEN_SOURCES:
+        for base in sys.path:
+            hits = globlib.glob(os.path.join(base, rel))
+            if hits:
+                try:
+                    out.append(load_image(hits[0]))
+                except Exception:
+                    pass
+                break
+    return out
+
+
 def _gradient_edges(rng: np.random.Generator, x: int, y: int) -> np.ndarray:
     """Piecewise-smooth content: smooth color gradient + random half-plane
     fills (sharp edges) + a few soft discs — the cartoon/graphics end of
@@ -118,12 +151,10 @@ def training_bank(n: int = 48, x: int = 512, y: int = 512,
     rng = np.random.default_rng(seed)
     out = np.empty((n, x, y, 3), np.uint8)
     photos = bundled_photos()
+    screens = bundled_screens()
     from PIL import Image
-    i = 0
-    # ~40% real-photo crops (resized up so a 512-crop has photo context)
-    n_photo = (2 * n) // 5 if photos else 0
-    for k in range(n_photo):
-        src = photos[k % len(photos)]
+
+    def crop_of(src):
         scale = max(x / src.shape[0], y / src.shape[1]) * \
             rng.uniform(1.0, 1.6)
         im = Image.fromarray(src).resize(
@@ -139,9 +170,19 @@ def training_bank(n: int = 48, x: int = 512, y: int = 512,
             crop = crop[:, ::-1]
         if rng.random() < 0.5 and x == y:
             crop = np.swapaxes(crop, 0, 1)
-        out[i] = crop
+        return crop
+
+    i = 0
+    # ~25% real-photo crops (resized up so a 512-crop has photo context)
+    for k in range(n // 4 if photos else 0):
+        out[i] = crop_of(photos[k % len(photos)])
         i += 1
-    # ~30% 1/f noise over a range of slopes
+    # ~15% screen-content crops (round 5: raster diversity disjoint from
+    # the eval scenes; the photo diet is a single source image)
+    for k in range((3 * n) // 20 if screens else 0):
+        out[i] = crop_of(screens[k % len(screens)])
+        i += 1
+    # ~1/3 of the rest: 1/f noise over a range of slopes
     n_noise = (3 * (n - i)) // 5
     alphas = np.linspace(1.0, 2.2, max(n_noise, 1))
     for k in range(n_noise):
