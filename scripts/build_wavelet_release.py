@@ -39,6 +39,8 @@ def main():
     cfg256 = reference_net_for_input(256, 256)
     ckdir = os.path.join(ROOT, "checkpoints")
     for name, spec in PROFILES.items():
+        if spec.get("weights"):
+            continue  # fine-tuned profiles ship their own npz + CDFs
         p = intnet_haar.haar_params(det2_keep=spec["det2_keep"])
         np.savez_compressed(
             os.path.join(ckdir, f"intnet_{name.replace('-', '_')}.npz"),

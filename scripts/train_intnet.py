@@ -26,13 +26,15 @@ sys.path.insert(0, ROOT)
 import numpy as np
 
 
-def run_phase(cfg, net, params, bank, key, steps, log_every, tag):
+def run_phase(cfg, net, params, bank, key, steps, log_every, tag,
+              ent_only=False):
     import jax
     from simple_image_compression_network_tpu import intnet
 
-    tx = intnet.build_optimizer(cfg)
+    tx = intnet.build_optimizer(cfg, ent_only=ent_only)
     opt_state = jax.jit(tx.init)(params)
-    block = jax.jit(intnet.make_train_block(cfg, net, log_every))
+    block = jax.jit(intnet.make_train_block(cfg, net, log_every,
+                                            ent_only=ent_only))
     step, t0 = 0, time.perf_counter()
     while step < steps:
         params, opt_state, m = block(params, opt_state, bank,
@@ -73,6 +75,10 @@ def main():
     ap.add_argument("--wire", default=None, choices=["half", "ycocg"],
                     help="wire domain (default: half, or ycocg when "
                          "--init-haar)")
+    ap.add_argument("--ent-warmup", type=int, default=0, dest="ent_warmup",
+                    help="steps of entropy-model-only training before the "
+                         "main phases (adapts the rate proxy to a "
+                         "constructed init)")
     ap.add_argument("--out", default="intnet_trained")
     args = ap.parse_args()
 
@@ -115,6 +121,10 @@ def main():
 
     bank = jnp.asarray(datalib.training_bank(48, 512, 512, seed=args.seed))
 
+    if args.ent_warmup:
+        params = run_phase(cfg_wrap, net, params, bank, jax.random.fold_in(
+            key, 4), args.ent_warmup, args.log_every, "ent-warmup",
+            ent_only=True)
     skip_pre = bool(args.resume or args.init_haar)
     if args.float_steps and not skip_pre:
         params = run_phase(cfg_float, net, params, bank, jax.random.fold_in(

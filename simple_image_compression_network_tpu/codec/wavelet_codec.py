@@ -51,6 +51,11 @@ PROFILES = {
                     cdfs="haar_ycocg422_cdfs.npz"),
     "haar420": dict(wire="ycocg", det2_keep=(0, 1, 2),
                     cdfs="haar_ycocg420_cdfs.npz"),
+    # fine-tuned weights (scripts/train_intnet.py --init-haar haar422):
+    # loaded from the shipped npz instead of the constructor
+    "haar422-ft": dict(wire="ycocg", det2_keep=None,
+                       weights="intnet_ft422.npz",
+                       cdfs="intnet_ft422_cdfs.npz"),
 }
 DEFAULT_PROFILE = "haar422"
 
@@ -64,8 +69,14 @@ class WaveletCodec:
         spec = PROFILES[profile]
         self.profile = profile
         self.wire = spec["wire"]
-        p = params if params is not None else intnet_haar.haar_params(
-            det2_keep=spec["det2_keep"])
+        if params is not None:
+            p = params
+        elif spec.get("weights"):
+            with np.load(os.path.join(_ROOT, "checkpoints",
+                                      spec["weights"])) as z:
+                p = {k: z[k] for k in z.files}
+        else:
+            p = intnet_haar.haar_params(det2_keep=spec["det2_keep"])
         self.disp_a = np.asarray(p.get("disp_a", intnet_haar.DISP_A / 2.0))
         self.disp_b = np.asarray(p.get("disp_b", intnet_haar.DISP_B))
         self.params = {k: jnp.asarray(v) for k, v in p.items()

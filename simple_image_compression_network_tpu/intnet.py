@@ -258,14 +258,28 @@ def loss_fn(params: Dict[str, Any], batch_u8: jax.Array,
                   "psnr": -10.0 * jnp.log10(jnp.maximum(mse01, 1e-12))}
 
 
-def build_optimizer(cfg: IntNetTrainConfig) -> optax.GradientTransformation:
-    return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+def build_optimizer(cfg: IntNetTrainConfig, *,
+                    ent_only: bool = False) -> optax.GradientTransformation:
+    """ent_only=True updates just the entropy-model params — the warmup
+    that adapts the rate proxy to a (constructed) net before its gradients
+    are allowed to move the weights."""
+    base = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+    if not ent_only:
+        return base
+    # NOTE optax.masked passes False leaves through UNCHANGED (raw grads
+    # would be applied); multi_transform + set_to_zero actually freezes.
+    return optax.multi_transform(
+        {"train": base, "freeze": optax.set_to_zero()},
+        lambda p: {k: jax.tree.map(
+            lambda _: "train" if k == "ent" else "freeze", v)
+            for k, v in p.items()})
 
 
-def make_train_block(cfg: IntNetTrainConfig, net: ModelConfig, n_steps: int):
+def make_train_block(cfg: IntNetTrainConfig, net: ModelConfig, n_steps: int,
+                     *, ent_only: bool = False):
     """K fused steps with device-side uint8 crop sampling (one dispatch per
     K steps — the tunneled-TPU discipline of ``train.make_train_block``)."""
-    tx = build_optimizer(cfg)
+    tx = build_optimizer(cfg, ent_only=ent_only)
 
     def sample(bank: jax.Array, key: jax.Array) -> jax.Array:
         n, x, y, _ = bank.shape
