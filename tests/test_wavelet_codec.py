@@ -53,3 +53,37 @@ def test_profiles_share_container_format():
     from simple_image_compression_network_tpu.codec import container
     codec_id, _ = container.unpack(blobs[0])
     assert codec_id == container.CODEC_INT8
+
+
+def test_sharded_serving_byte_identical():
+    """The wavelet profiles serve through the sharded int8 container
+    wrapper unchanged: per-tile ICI entropy streams must produce
+    containers byte-identical to the single-chip codec and roundtrip to
+    the same display output (8 virtual devices, conftest)."""
+    import jax
+    import jax.numpy as jnp
+    from simple_image_compression_network_tpu.codec import int_codec
+    from simple_image_compression_network_tpu.config import (
+        reference_net_for_input)
+    from simple_image_compression_network_tpu.parallel import (
+        entropy_sharded, mesh as meshlib)
+
+    n_dev = len(jax.devices())
+    codec = wavelet_codec.WaveletCodec("haar422")
+    imgs = _smooth_batch(2, 16 * n_dev, 64, seed=5)
+    cfg = reference_net_for_input(16 * n_dev, 64)
+    wire = jnp.asarray(codec.to_wire(imgs))
+
+    blobs_1 = int_codec.compress_batch(codec.params, wire, cfg,
+                                       static_cdfs=codec.cdfs,
+                                       coder="device")
+    smesh = meshlib.spatial_mesh(n_dev)
+    sharded = entropy_sharded.ShardedIntCodec(
+        codec.params, np.asarray(codec.cdfs), smesh, cfg)
+    blobs_n = sharded.compress_batch(wire)
+    assert blobs_n == blobs_1
+
+    x_hat, _ = sharded.decompress_batch(blobs_n)
+    rec = codec.display(np.asarray(x_hat))
+    rec_1, _ = codec.decompress_batch(blobs_1)
+    np.testing.assert_array_equal(rec, rec_1)
