@@ -86,7 +86,8 @@ class WaveletCodec:
             static_cdfs = np.load(path)["cdfs"]
         self.cdfs = static_cdfs
 
-    # -- wire transform (host side) --------------------------------------
+    # -- wire transform (host reference; the serving path runs the jitted
+    #    device mirrors below so the color pipeline never bottlenecks) ----
     def to_wire(self, images_u8: np.ndarray) -> np.ndarray:
         if self.wire == "ycocg":
             return intnet_haar.to_wire_ycocg(images_u8)
@@ -97,10 +98,47 @@ class WaveletCodec:
             return intnet_haar.display_ycocg(y_out)
         return intnet_haar.display(y_out, self.disp_a, self.disp_b)
 
+    def _wire_dev(self, images_u8) -> jax.Array:
+        """Device-side wire transform (bit-identical to to_wire; asserted
+        in tests/test_wavelet_codec.py)."""
+        from .. import intnet
+
+        @jax.jit
+        def f(x_u8):
+            xf = x_u8.astype(jnp.float32)
+            if self.wire == "ycocg":
+                return intnet._jnp_wire_ycocg(xf).astype(jnp.int8)
+            return jnp.floor(xf / 4.0).astype(jnp.int8)
+
+        return f(jnp.asarray(images_u8))
+
+    def _display_dev(self, y_int8: jax.Array) -> jax.Array:
+        """Device-side display map -> uint8 (bit-identical to display)."""
+        from .. import intnet
+        a = jnp.asarray(self.disp_a, jnp.float32)
+        b = jnp.asarray(self.disp_b, jnp.float32)
+        wire = self.wire
+
+        @jax.jit
+        def f(y):
+            yv = y.astype(jnp.float32)
+            # border compensation: the bilinear output layer's last
+            # row/col hold one-tap (half-value) sums
+            yv = yv.at[:, -1, :, :].multiply(2.0)
+            yv = yv.at[:, :, -1, :].multiply(2.0)
+            yv = yv.at[:, -1, -1, :].divide(2.0)
+            if wire == "ycocg":
+                rgb = intnet._jnp_display_ycocg(yv)
+            else:
+                rgb = a * yv + b
+            return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
+
+        return f(y_int8)
+
     # -- container API ----------------------------------------------------
     def compress_batch(self, images_u8: np.ndarray) -> List[bytes]:
         """(B, X, Y, 3) uint8 -> B CODEC_INT8 containers."""
-        x = jnp.asarray(self.to_wire(images_u8))
+        x = self._wire_dev(images_u8)
         cfg = reference_net_for_input(x.shape[1], x.shape[2])
         return int_codec.compress_batch(self.params, x, cfg,
                                         static_cdfs=self.cdfs)
@@ -110,7 +148,7 @@ class WaveletCodec:
         """containers -> ((B, X, Y, 3) uint8 reconstruction, int8 net out)."""
         x_hat, _ = int_codec.decompress_batch(self.params, blobs,
                                               static_cdfs=self.cdfs)
-        return self.display(np.asarray(x_hat)), x_hat
+        return np.asarray(self._display_dev(x_hat)), x_hat
 
     def roundtrip_metrics(self, images_u8: np.ndarray) -> Dict[str, float]:
         """bpp / PSNR / bit-exactness for a uint8 batch."""

@@ -87,3 +87,19 @@ def test_sharded_serving_byte_identical():
     rec = codec.display(np.asarray(x_hat))
     rec_1, _ = codec.decompress_batch(blobs_1)
     np.testing.assert_array_equal(rec, rec_1)
+
+
+@pytest.mark.parametrize("profile", ["haar-rgb", "haar422"])
+def test_device_wire_and_display_match_host(profile):
+    """The jitted device wire/display mirrors must be bit-identical to
+    the numpy reference transforms (the serving path uses the device
+    versions)."""
+    import jax.numpy as jnp
+    codec = wavelet_codec.WaveletCodec(profile)
+    imgs = _smooth_batch(2, 64, 96, seed=9)
+    np.testing.assert_array_equal(np.asarray(codec._wire_dev(imgs)),
+                                  codec.to_wire(imgs))
+    y = np.random.default_rng(4).integers(
+        0, 127, size=(2, 64, 96, 3)).astype(np.int8)
+    np.testing.assert_array_equal(
+        np.asarray(codec._display_dev(jnp.asarray(y))), codec.display(y))
