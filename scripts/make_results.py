@@ -31,10 +31,7 @@ def latest_ckpt(d):
 def eval_all(base, run):
     run("int8 reference-semantics codec", base + ["--codec", "int8"])
 
-    profs = ["haar-rgb", "haar", "haar422", "haar420"]
-    if os.path.exists(os.path.join(ROOT, "checkpoints", "intnet_ft422.npz")):
-        profs.append("haar422-ft")
-    for prof in profs:
+    for prof in ("haar-rgb", "haar", "haar422", "haar420"):
         run(f"wavelet integer codec ({prof}, bit-exact)",
             base + ["--codec", "wavelet", "--profile", prof])
 

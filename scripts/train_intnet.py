@@ -27,14 +27,15 @@ import numpy as np
 
 
 def run_phase(cfg, net, params, bank, key, steps, log_every, tag,
-              ent_only=False):
+              ent_only=False, grad_mask=None):
     import jax
     from simple_image_compression_network_tpu import intnet
 
-    tx = intnet.build_optimizer(cfg, ent_only=ent_only)
+    tx = intnet.build_optimizer(cfg, ent_only=ent_only, grad_mask=grad_mask)
     opt_state = jax.jit(tx.init)(params)
     block = jax.jit(intnet.make_train_block(cfg, net, log_every,
-                                            ent_only=ent_only))
+                                            ent_only=ent_only,
+                                            grad_mask=grad_mask))
     step, t0 = 0, time.perf_counter()
     while step < steps:
         params, opt_state, m = block(params, opt_state, bank,
@@ -75,6 +76,18 @@ def main():
     ap.add_argument("--wire", default=None, choices=["half", "ycocg"],
                     help="wire domain (default: half, or ycocg when "
                          "--init-haar)")
+    ap.add_argument("--main-mode", default="wrap", dest="main_mode",
+                    choices=["wrap", "clip"],
+                    help="accumulator mode for the main phase: 'clip' has "
+                         "exact saturation-masked gradients (identity-STE "
+                         "through wrap is a surrogate that runs away once "
+                         "wraps fire); with the oob penalty driving "
+                         "saturation to zero, clip == wrap at export")
+    ap.add_argument("--freeze-structure", action="store_true",
+                    dest="freeze_structure",
+                    help="with --init-haar: train only the construction's "
+                         "ZERO entries (unused pathways); structural taps "
+                         "and biases stay fixed")
     ap.add_argument("--ent-warmup", type=int, default=0, dest="ent_warmup",
                     help="steps of entropy-model-only training before the "
                          "main phases (adapts the rate proxy to a "
@@ -102,9 +115,10 @@ def main():
                                          oob_weight=args.oob_pre, **base)
     cfg_pre = intnet.IntNetTrainConfig(mode="clip", oob_weight=args.oob_pre,
                                        **base)
-    cfg_wrap = intnet.IntNetTrainConfig(mode="wrap", oob_weight=args.oob,
-                                        **base)
+    cfg_wrap = intnet.IntNetTrainConfig(mode=args.main_mode,
+                                        oob_weight=args.oob, **base)
     params = intnet.init_params(cfg_wrap, key, net)
+    grad_mask = None
     if args.resume:
         params = train_ckpt.restore_params(args.resume, params)
         print(f"resumed shadows from {args.resume}")
@@ -118,6 +132,11 @@ def main():
             if not k.startswith("disp"):
                 params[k] = jnp.asarray(v, jnp.float32)
         print(f"initialized shadows from wavelet profile {args.init_haar}")
+        if args.freeze_structure:
+            grad_mask = intnet.grad_mask_from_structure(hp, params)
+            n_free = sum(float(v.sum()) for k, v in grad_mask.items()
+                         if k.startswith("w"))
+            print(f"structure frozen: {n_free:.0f} free weight elements")
 
     bank = jnp.asarray(datalib.training_bank(48, 512, 512, seed=args.seed))
 
@@ -133,7 +152,7 @@ def main():
         params = run_phase(cfg_pre, net, params, bank, jax.random.fold_in(
             key, 1), args.pretrain, args.log_every, "clip")
     params = run_phase(cfg_wrap, net, params, bank, jax.random.fold_in(
-        key, 2), args.steps, args.log_every, "wrap")
+        key, 2), args.steps, args.log_every, "wrap", grad_mask=grad_mask)
 
     ckdir = os.path.join(ROOT, "checkpoints")
     train_ckpt.save_params(os.path.join(ckdir, args.out + ".msgpack"),

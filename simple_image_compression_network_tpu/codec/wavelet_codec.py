@@ -51,11 +51,10 @@ PROFILES = {
                     cdfs="haar_ycocg422_cdfs.npz"),
     "haar420": dict(wire="ycocg", det2_keep=(0, 1, 2),
                     cdfs="haar_ycocg420_cdfs.npz"),
-    # fine-tuned weights (scripts/train_intnet.py --init-haar haar422):
-    # loaded from the shipped npz instead of the constructor
-    "haar422-ft": dict(wire="ycocg", det2_keep=None,
-                       weights="intnet_ft422.npz",
-                       cdfs="intnet_ft422_cdfs.npz"),
+    # profiles may also carry "weights": "<npz>" to load shipped weights
+    # instead of the constructor (no such profile ships: gradient
+    # fine-tuning from the construction measurably fails — docs/WAVELET.md
+    # "a measured negative result")
 }
 DEFAULT_PROFILE = "haar422"
 

@@ -258,12 +258,47 @@ def loss_fn(params: Dict[str, Any], batch_u8: jax.Array,
                   "psnr": -10.0 * jnp.log10(jnp.maximum(mse01, 1e-12))}
 
 
-def build_optimizer(cfg: IntNetTrainConfig, *,
-                    ent_only: bool = False) -> optax.GradientTransformation:
+def grad_mask_from_structure(ref_params: Dict[str, Any],
+                             template: Dict[str, Any]) -> Dict[str, Any]:
+    """Per-ELEMENT mask: 1 where a reference int param is ZERO (an unused
+    pathway free to train), 0 where it is part of the constructed
+    structure.  Entropy params and anything without a reference entry are
+    fully trainable.  Used to fine-tune FROM the Haar construction without
+    letting gradients destroy it (an unmasked wrap-mode fine-tune
+    collapsed 26 dB -> 3 dB within 2k steps: one flipped structural
+    weight starts wrap events and the sawtooth landscape never recovers).
+    """
+    mask: Dict[str, Any] = {}
+    for k, v in template.items():
+        if k in ref_params and not k.startswith("disp") and k != "ent":
+            mask[k] = jnp.asarray(
+                (np.asarray(ref_params[k]) == 0), jnp.float32)
+        else:
+            mask[k] = jax.tree.map(lambda x: jnp.ones_like(x), v)
+    return mask
+
+
+def _apply_grad_mask(mask_tree) -> optax.GradientTransformation:
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u, m: u * m, updates, mask_tree), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(cfg: IntNetTrainConfig, *, ent_only: bool = False,
+                    grad_mask=None) -> optax.GradientTransformation:
     """ent_only=True updates just the entropy-model params — the warmup
     that adapts the rate proxy to a (constructed) net before its gradients
-    are allowed to move the weights."""
+    are allowed to move the weights.  grad_mask (per-element 0/1 pytree,
+    see grad_mask_from_structure) multiplies updates elementwise."""
     base = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+    if grad_mask is not None:
+        base = optax.chain(base, _apply_grad_mask(grad_mask))
     if not ent_only:
         return base
     # NOTE optax.masked passes False leaves through UNCHANGED (raw grads
@@ -276,10 +311,10 @@ def build_optimizer(cfg: IntNetTrainConfig, *,
 
 
 def make_train_block(cfg: IntNetTrainConfig, net: ModelConfig, n_steps: int,
-                     *, ent_only: bool = False):
+                     *, ent_only: bool = False, grad_mask=None):
     """K fused steps with device-side uint8 crop sampling (one dispatch per
     K steps — the tunneled-TPU discipline of ``train.make_train_block``)."""
-    tx = build_optimizer(cfg, ent_only=ent_only)
+    tx = build_optimizer(cfg, ent_only=ent_only, grad_mask=grad_mask)
 
     def sample(bank: jax.Array, key: jax.Array) -> jax.Array:
         n, x, y, _ = bank.shape
