@@ -449,15 +449,21 @@ def measure_wavelet(args):
     from simple_image_compression_network_tpu.codec import wavelet_codec
     from simple_image_compression_network_tpu.utils import data as datalib
 
+    import jax.numpy as jnp
     out = {}
     codec = wavelet_codec.WaveletCodec()
     b = args.codec_batch
     imgs = datalib.synthetic_images(b, 768, 512, seed=3)
-    t_enc, blobs = timed_median(lambda: codec.compress_batch(imgs),
+    # device-resident input / scalar-await decode: the same conventions as
+    # the int8 e2e section (the tunneled host link otherwise dominates
+    # with 3 bytes/pixel of uint8 traffic each way)
+    imgs_dev = jnp.asarray(imgs)
+    t_enc, blobs = timed_median(lambda: codec.compress_batch(imgs_dev),
                                 args.codec_iters)
 
     def dec():
-        rec, x_hat = codec.decompress_batch(blobs)
+        rec, x_hat = codec.decompress_batch_device(blobs)
+        np.asarray(rec[0, 0, 0])  # await completion (tunneled TPU)
         return rec
 
     t_dec, rec = timed_median(dec, args.codec_iters)

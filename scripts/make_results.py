@@ -153,6 +153,14 @@ def main():
         "  bank (real-photo crops disjoint from this eval set + sloped",
         "  1/f + edges + textures; 50k steps per lambda,",
         "  scripts/train_release.py; checkpoints/*.params.msgpack).",
+        "- mean-scale vs scale (round-5 finding): on synthetic bank-like",
+        "  content mean-scale dominates at equal lambda; on the photo",
+        "  eval set it sits slightly inside the scale curve at every",
+        "  lambda, and the seed half-ranges above do NOT contain the gap",
+        "  - it is systematic, not training noise.  Diagnosis: the mu",
+        "  head's predictions degrade under the train->eval content",
+        "  shift (the bank's photo diet is a single source image), while",
+        "  on bank-like content the mean head pays for itself.",
         "- plot-ready data: docs/RESULTS.json (bpp / psnr_db per codec",
         "  per content set).",
         "",

@@ -99,39 +99,49 @@ class WaveletCodec:
 
     def _wire_dev(self, images_u8) -> jax.Array:
         """Device-side wire transform (bit-identical to to_wire; asserted
-        in tests/test_wavelet_codec.py)."""
-        from .. import intnet
+        in tests/test_wavelet_codec.py).  The jitted callable is cached on
+        the instance — a fresh function object per call would retrace and
+        recompile every invocation (measured: a 100x serving slowdown)."""
+        f = getattr(self, "_wire_fn", None)
+        if f is None:
+            from .. import intnet
+            wire = self.wire
 
-        @jax.jit
-        def f(x_u8):
-            xf = x_u8.astype(jnp.float32)
-            if self.wire == "ycocg":
-                return intnet._jnp_wire_ycocg(xf).astype(jnp.int8)
-            return jnp.floor(xf / 4.0).astype(jnp.int8)
+            @jax.jit
+            def f(x_u8):
+                xf = x_u8.astype(jnp.float32)
+                if wire == "ycocg":
+                    return intnet._jnp_wire_ycocg(xf).astype(jnp.int8)
+                return jnp.floor(xf / 4.0).astype(jnp.int8)
 
+            self._wire_fn = f
         return f(jnp.asarray(images_u8))
 
     def _display_dev(self, y_int8: jax.Array) -> jax.Array:
-        """Device-side display map -> uint8 (bit-identical to display)."""
-        from .. import intnet
-        a = jnp.asarray(self.disp_a, jnp.float32)
-        b = jnp.asarray(self.disp_b, jnp.float32)
-        wire = self.wire
+        """Device-side display map -> uint8 (bit-identical to display);
+        jitted callable cached on the instance like _wire_dev."""
+        f = getattr(self, "_display_fn", None)
+        if f is None:
+            from .. import intnet
+            a = jnp.asarray(self.disp_a, jnp.float32)
+            b = jnp.asarray(self.disp_b, jnp.float32)
+            wire = self.wire
 
-        @jax.jit
-        def f(y):
-            yv = y.astype(jnp.float32)
-            # border compensation: the bilinear output layer's last
-            # row/col hold one-tap (half-value) sums
-            yv = yv.at[:, -1, :, :].multiply(2.0)
-            yv = yv.at[:, :, -1, :].multiply(2.0)
-            yv = yv.at[:, -1, -1, :].divide(2.0)
-            if wire == "ycocg":
-                rgb = intnet._jnp_display_ycocg(yv)
-            else:
-                rgb = a * yv + b
-            return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
+            @jax.jit
+            def f(y):
+                yv = y.astype(jnp.float32)
+                # border compensation: the bilinear output layer's last
+                # row/col hold one-tap (half-value) sums
+                yv = yv.at[:, -1, :, :].multiply(2.0)
+                yv = yv.at[:, :, -1, :].multiply(2.0)
+                yv = yv.at[:, -1, -1, :].divide(2.0)
+                if wire == "ycocg":
+                    rgb = intnet._jnp_display_ycocg(yv)
+                else:
+                    rgb = a * yv + b
+                return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
 
+            self._display_fn = f
         return f(y_int8)
 
     # -- container API ----------------------------------------------------
@@ -145,9 +155,17 @@ class WaveletCodec:
     def decompress_batch(self, blobs: Sequence[bytes]
                          ) -> Tuple[np.ndarray, jax.Array]:
         """containers -> ((B, X, Y, 3) uint8 reconstruction, int8 net out)."""
+        rec, x_hat = self.decompress_batch_device(blobs)
+        return np.asarray(rec), x_hat
+
+    def decompress_batch_device(self, blobs: Sequence[bytes]
+                                ) -> Tuple[jax.Array, jax.Array]:
+        """Like decompress_batch but leaves the uint8 reconstruction on
+        device (serving nodes that post-process or re-encode on-device
+        skip the 3-bytes/pixel host fetch)."""
         x_hat, _ = int_codec.decompress_batch(self.params, blobs,
                                               static_cdfs=self.cdfs)
-        return np.asarray(self._display_dev(x_hat)), x_hat
+        return self._display_dev(x_hat), x_hat
 
     def roundtrip_metrics(self, images_u8: np.ndarray) -> Dict[str, float]:
         """bpp / PSNR / bit-exactness for a uint8 batch."""
