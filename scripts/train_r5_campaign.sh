@@ -9,8 +9,7 @@
 set -x
 cd "$(dirname "$0")/.."
 
-python scripts/train_release.py --steps 50000 --ckpt-root /tmp/runs_r5 \
-   
+python scripts/train_release.py --steps 50000 --ckpt-root /tmp/runs_r5
 
 for SEED in 1 2; do
   for M in hyperprior:scale meanscale:meanscale; do

@@ -74,7 +74,8 @@ def render(recs):
     lines = []
     lines.append(
         "Benchmark status (TPU v5e; every figure is a range bracketing the "
-        "committed `BENCH_r0*.json` records plus link-weather margin — "
+        "LATEST committed `BENCH_r0*.json` record (plus any extra records "
+        "passed on the command line) with link-weather margin — "
         "regenerate with `python scripts/update_readme_bench.py`):")
     lines.append("")
     lines.append(

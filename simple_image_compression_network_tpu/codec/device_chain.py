@@ -62,8 +62,6 @@ class DeviceChain:
         self.shape = (b, zx, zy, c)
         self.lane_cdf = jnp.asarray(
             int_codec._lane_cdf(static_cdfs, self.n_lanes))
-        self.enc_impl = int_codec._encode_impl(
-            self.n_lanes, self.t_steps, b * s)
 
         # Size the decode window from one real encode: bucket the max
         # payload and keep one bucket of margin for content drift, same
@@ -76,7 +74,8 @@ class DeviceChain:
             device_rans.bucket_words(int(np.asarray(cnt).max()))
             + device_rans.WORD_BUCKET,
             w.shape[1])
-        self.dec_impl = int_codec._decode_impl(self.n_lanes, self.mxb)
+        self.dec_impl = int_codec._decode_impl(self.n_lanes, self.mxb,
+                                               b * s)
         self._build()
 
     # -- stage bodies (traced inside the jitted programs) ----------------

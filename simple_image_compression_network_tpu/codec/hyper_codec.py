@@ -530,7 +530,8 @@ class HyperCodec:
                                          np.arange(nl_z) % zc])
         z_syms, z_ok = int_codec._device_decode_batch(
             z_words.astype(jnp.uint16), z_counts, z_lane_cdf, t_steps=t_z,
-            impl=int_codec._decode_impl(nl_z, z_cap))
+            impl=int_codec._decode_impl(nl_z, z_cap,
+                                        int(z_words.shape[0])))
         # validity is checked ONCE for both tensors at the end: the y
         # decode needs only device-resident z_hat, so no host round trip
         # has to sit between the two stages

@@ -211,17 +211,23 @@ def _device_encode_batch(z: jax.Array, lane_cdf: jax.Array, *,
                                n_lanes=n_lanes, n_streams=n_streams)
 
 
-def _decode_impl(n_lanes: int, cap: int | None = None) -> str:
+def _decode_impl(n_lanes: int, cap: int | None = None,
+                 n_streams: int | None = None) -> str:
     """Pick the device decode engine: the Pallas VPU kernel on TPU when
     the lane count is vector-register aligned and the word buffer fits the
     kernel's VMEM window, else the lax.scan form (bit-identical).
-    SICN_RANS_IMPL=scan|pallas overrides."""
+    ``n_streams`` (total stream count) sizes the words block's group
+    width: pick_g returns a whole-array group for counts not divisible
+    by 8, shrinking the admissible cap.  SICN_RANS_IMPL=scan|pallas
+    overrides."""
     forced = os.environ.get("SICN_RANS_IMPL")
     if forced:
         return forced
     if jax.default_backend() == "tpu" and n_lanes % 128 == 0:
         from . import pallas_rans
-        if cap is not None and cap > pallas_rans.max_supported_cap(n_lanes):
+        g = pallas_rans.pick_g(n_streams) if n_streams else 8
+        if cap is not None and cap > pallas_rans.max_supported_cap(
+                n_lanes, g):
             return "scan"  # over-wide buffer: VMEM window would not compile
         return "pallas"
     return "scan"
@@ -411,7 +417,7 @@ def decompress_batch(params: Dict[str, jax.Array], streams: Sequence[bytes],
         wdev = up[2 * n_str:].reshape(words.shape)
         syms, ok = _device_decode_batch(
             wdev, tc, lane_cdf,
-            t_steps=t_steps, impl=_decode_impl(n_lanes, cap))
+            t_steps=t_steps, impl=_decode_impl(n_lanes, cap, n_str))
         zj = syms.reshape(b, zx, zy, c)  # stays on device
         # schedule synthesis BEFORE the validity fetch: the ok check only
         # gates the error raise, so its link round trip overlaps the

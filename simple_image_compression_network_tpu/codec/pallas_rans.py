@@ -85,9 +85,17 @@ def pick_g(s: int, pref: int = 8) -> int:
     return pref if (s % pref == 0 and s >= pref) else s
 
 
-def max_supported_cap(n_lanes: int) -> int:
-    """Largest words-buffer capacity (in u16 words) ``decode`` accepts."""
-    return _WORDS_VMEM_LIMIT // (128 * 4) - 2 * n_lanes
+def max_supported_cap(n_lanes: int, g: int = 8) -> int:
+    """Largest words-buffer capacity (in u16 words) ``decode`` accepts.
+
+    ``g`` is the stream-group block width (``pick_g``): the words block's
+    minor axis is g, lane-padded to a multiple of 128 by Mosaic, so a
+    whole-array group (g > 128 for stream counts not divisible by 8)
+    shrinks the admissible cap proportionally — guarding with the default
+    128-lane assumption would admit buffers that blow the VMEM window
+    (ADVICE r4; same class as the decode_ctx_vmem_ok fix)."""
+    g_lanes = 128 * max(1, -(-g // 128))
+    return _WORDS_VMEM_LIMIT // (g_lanes * 4) - 2 * n_lanes
 
 
 def decode_ctx_vmem_ok(t_steps: int, n_lanes: int, cap: int,
@@ -98,7 +106,7 @@ def decode_ctx_vmem_ok(t_steps: int, n_lanes: int, cap: int,
     t_steps and overflow VMEM for large images even when the words
     window fits (the encode-side analog is ``encode_vmem_ok``).  Callers
     fall back to the bit-identical lax.scan decoder."""
-    if cap > max_supported_cap(n_lanes):
+    if cap > max_supported_cap(n_lanes, g):
         return False
     # The words block's minor (stream-group) axis is g, lane-padded to a
     # multiple of 128 by Mosaic — pick_g can return a whole-array g > 128
@@ -215,14 +223,14 @@ def decode(words: jax.Array, x0: jax.Array, lane_cdf: jax.Array, *,
     """
     s, cap = words.shape
     n_lanes = x0.shape[1]
-    if cap > max_supported_cap(n_lanes):
+    g = pick_g(s, g_streams)
+    if cap > max_supported_cap(n_lanes, g):
         raise ValueError(
             f"word buffer cap={cap} exceeds the VPU kernel's VMEM window "
-            f"({max_supported_cap(n_lanes)} words for {n_lanes} lanes); "
-            "bucket the capacity to the true payload "
+            f"({max_supported_cap(n_lanes, g)} words for {n_lanes} lanes, "
+            f"stream group {g}); bucket the capacity to the true payload "
             "(device_rans.bucket_words) or use the scan decoder")
     n_sym = lane_cdf.shape[1] - 1
-    g = pick_g(s, g_streams)
     n_blocks = s // g
     # pad cap so in-kernel windows never run off the block
     words_p = jnp.pad(words.astype(jnp.uint32), ((0, 0), (0, n_lanes)))
@@ -353,12 +361,13 @@ def decode_ctx(words: jax.Array, x0: jax.Array, cdfs: jax.Array,
     """
     s, cap = words.shape
     n_lanes = x0.shape[1]
-    if cap > max_supported_cap(n_lanes):
-        raise ValueError(
-            f"word buffer cap={cap} exceeds the VPU kernel's VMEM window; "
-            "bucket the capacity or use the scan decoder")
-    n_rows, l1 = cdfs.shape
     g = pick_g(s, g_streams)
+    if cap > max_supported_cap(n_lanes, g):
+        raise ValueError(
+            f"word buffer cap={cap} exceeds the VPU kernel's VMEM window "
+            f"(stream group {g}); bucket the capacity or use the scan "
+            "decoder")
+    n_rows, l1 = cdfs.shape
     n_blocks = s // g
     words_p = jnp.pad(words.astype(jnp.uint32), ((0, 0), (0, n_lanes)))
     words_t = jnp.swapaxes(words_p.reshape(n_blocks, g, cap + n_lanes), 1, 2)

@@ -252,7 +252,8 @@ class PipelinedDecoder:
         wdev = up[2 * n_str:].reshape(words.shape)
         syms, ok = int_codec._device_decode_batch(
             wdev, tc, lane_cdf,
-            t_steps=t_steps, impl=int_codec._decode_impl(n_lanes, cap))
+            t_steps=t_steps,
+            impl=int_codec._decode_impl(n_lanes, cap, int(wdev.shape[0])))
         zj = syms.reshape(len(streams), zx, zy, c)
         cfg = (REFERENCE_NET if (ix, iy) == (768, 512)
                else reference_net_for_input(ix, iy))

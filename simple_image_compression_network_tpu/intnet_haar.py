@@ -45,10 +45,12 @@ Wire contract: input ``x >> 2`` (values 0..63), display map
 ``x_disp = 4*y + 1.5`` — preprocessing/dequantization host-side constants
 (shipped in the npz as disp_a/disp_b), PSNR ceiling 46.9 dB.
 
-``scripts/train_intnet.py --resume-from-haar`` fine-tunes FROM this
-construction with the wrap-STE stack: the spare channels (115 in L0, 79 in
-L1/L2) give training room to learn what the hand construction cannot
-(finest-detail prediction, deblocking-like synthesis).
+Gradient fine-tuning FROM this construction
+(``scripts/train_intnet.py --init-haar``) was attempted four ways and
+measurably fails — the minimal int4 weight step times a carried
+activation (~64) exceeds the residual signal being refined, so every
+reachable discrete move is non-perturbative (docs/WAVELET.md, "a
+measured negative result").
 """
 
 from __future__ import annotations
@@ -152,99 +154,10 @@ def haar_params(cfg: ModelConfig = REFERENCE_NET, *,
     DC4 (3) + det4 (9) + pack(det3) (36) + pack^2(det2 luma) (48) +
     CONST (96), no slot sacrifice needed."""
     assert len(cfg.layers) == 8 and cfg.latent_shape[-1] == 192
-    params: Dict[str, np.ndarray] = {}
-    if chroma420:
-        return _haar_params_subset(cfg, interp, keep=(0, 1, 2))
-    if det2_keep is not None and tuple(det2_keep) != tuple(range(9)):
-        return _haar_params_subset(cfg, interp, keep=tuple(det2_keep))
-
-    # ---- analysis -------------------------------------------------------
-    w, b = _alloc(cfg, 0)     # 3 -> 128: DC1, det1, const
-    _analysis_level(w, b, 3, const_in=-1, const_out=_CONST_L0,
-                    pack_srcs=())
-    params["w0"], params["b0"] = w, b
-
-    w, b = _alloc(cfg, 1)     # 128 -> 128: DC2, det2, pack(det1), const
-    _analysis_level(w, b, 3, const_in=_CONST_L0, const_out=_CONST,
-                    pack_srcs=[(_PACK0 + 4 * s, _DET0 + s)
-                               for s in range(9)])
-    params["w1"], params["b1"] = w, b
-
-    w, b = _alloc(cfg, 2)     # 128 -> 128: DC3, det3, pack(det2), const
-    _analysis_level(w, b, 3, const_in=_CONST, const_out=_CONST,
-                    pack_srcs=[(_PACK0 + 4 * s, _DET0 + s)
-                               for s in range(9)])
-    params["w2"], params["b2"] = w, b             # (det1 pack dropped)
-
-    w, b = _alloc(cfg, 3)     # 128 -> 192 latent: DC4, det4, pack(det3),
-    #                           pack^2(det2) minus one slot, const
-    pack = [(_PACK0 + 4 * s, _DET0 + s) for s in range(9)]
-    pack += [(48 + 4 * q, _PACK0 + q) for q in range(36)]
-    _analysis_level(w, b, 3, const_in=_CONST, const_out=_CONST_LATENT,
-                    pack_srcs=pack)
-    w[_CONST_LATENT] = 0                          # overwrite the (q=35,
-    w[_CONST_LATENT, 2, 2, _CONST] = 1            # ph=3) pack slot with
-    b[_CONST_LATENT] = 0                          # the const forward
-    params["w3"], params["b3"] = w, b
-
-    # ---- synthesis ------------------------------------------------------
-    w, b = _alloc(cfg, 4)     # 192 -> 128: level-3 map [DC3, det3,
-    #                           pack(det2), const]
-    unpack = [(_DET0 + s, _PACK0 + 4 * s, _CONST_LATENT)
-              for s in range(9)]                  # det3 <- pack(det3)
-    unpack += [(_PACK0 + q, 48 + 4 * q, _CONST_LATENT)
-               for q in range(35)]                # pack(det2) <- pack^2
-    # q=35: phases 0..2 real, phase 3 was dropped -> negative src marks it
-    w_, b_ = w, b
-    _synthesis_level(w_, b_, 3, const_in=_CONST_LATENT, const_out=_CONST,
-                     unpack_srcs=unpack)
-    for ph, (px, py) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-        kx, ky = _PHASE_TAP[(px, py)]
-        if ph < 3:
-            w_[_PACK0 + 35, kx, ky, 48 + 4 * 35 + ph] = 1
-        else:
-            w_[_PACK0 + 35, kx, ky, _CONST_LATENT] = 1   # diff 0
-    params["w4"], params["b4"] = w_, b_
-
-    w, b = _alloc(cfg, 5)     # 128 -> 128: level-2 map [DC2, det2, const]
-    _synthesis_level(w, b, 3, const_in=_CONST, const_out=_CONST,
-                     unpack_srcs=[(_DET0 + s, _PACK0 + 4 * s, _CONST)
-                                  for s in range(9)])
-    params["w5"], params["b5"] = w, b
-
-    w, b = _alloc(cfg, 6)     # 128 -> 128: level-1 map [DC1, const]
-    _synthesis_level(w, b, 3, const_in=_CONST, const_out=_CONST,
-                     unpack_srcs=())
-    params["w6"], params["b6"] = w, b
-
-    w, b = _alloc(cfg, 7)     # 128 -> 3: upsample DC1 (det1 dropped)
-    if interp:
-        # integer bilinear at output scale 2: the family cannot divide,
-        # but 2*DC fits the window exactly (DC <= 63), so each phase emits
-        # a two-tap SUM and the display gain halves (disp_a 4 -> 2):
-        #   (0,0): 2*DC[a,b]      (1,0): DC[a,b] + DC[a+1,b]
-        #   (0,1): DC[a,b]+DC[a,b+1]   (1,1): DC[a,b] + DC[a+1,b+1]
-        # (phase px reads in[a+1] through tap kx = 4 - px; the deconv's
-        # appended zero row/col makes the border sum degrade to half —
-        # a one-pixel edge artifact the golden models explicitly).
-        for c in range(3):
-            w[c, 2, 2, c] = 2                       # phase (0,0)
-            w[c, 1, 2, c] = 1
-            w[c, 3, 2, c] = 1                       # (1,0): + in[a+1,b]
-            w[c, 2, 1, c] = 1
-            w[c, 2, 3, c] = 1                       # (0,1): + in[a,b+1]
-            w[c, 1, 1, c] = 1
-            w[c, 3, 3, c] = 1                       # (1,1): + in[a+1,b+1]
-    else:
-        for c in range(3):
-            for kx, ky in _PHASE_TAP.values():
-                w[c, kx, ky, c] = 1
-    params["w7"], params["b7"] = w, b
-
-    params["disp_a"] = np.full((3,), DISP_A / (2.0 if interp else 1.0),
-                               np.float32)
-    params["disp_b"] = np.full((3,), DISP_B, np.float32)
-    return params
+    keep = ((0, 1, 2) if chroma420
+            else tuple(det2_keep) if det2_keep is not None
+            else tuple(range(9)))
+    return _haar_params_subset(cfg, interp, keep=keep)
 
 
 def _haar_params_subset(cfg: ModelConfig, interp: bool,
@@ -256,8 +169,11 @@ def _haar_params_subset(cfg: ModelConfig, interp: bool,
     dropped det2 phase."""
     keep = tuple(keep)
     n_keep = len(keep)
-    const_latent = 48 + 16 * n_keep
-    assert const_latent < 192
+    # the full det2 set fills the latent exactly (48 + 144 = 192): CONST
+    # then steals the last pack^2 slot (q = 4*n_keep-1, phase 3) — the
+    # "sacrifice"; any proper subset leaves room after the packed details
+    sacrifice = 48 + 16 * n_keep > 191
+    const_latent = 191 if sacrifice else 48 + 16 * n_keep
     params: Dict[str, np.ndarray] = {}
 
     w, b = _alloc(cfg, 0)
@@ -281,14 +197,27 @@ def _haar_params_subset(cfg: ModelConfig, interp: bool,
     pack += [(48 + 4 * q, _PACK0 + q) for q in range(4 * n_keep)]
     _analysis_level(w, b, 3, const_in=_CONST, const_out=const_latent,
                     pack_srcs=pack)
+    if sacrifice:
+        w[const_latent] = 0          # overwrite the (q=35, ph=3) pack
+        w[const_latent, 2, 2, _CONST] = 1   # slot with the const forward
+        b[const_latent] = 0
     params["w3"], params["b3"] = w, b
 
     w, b = _alloc(cfg, 4)     # level-3 map [DC3, det3, p(det2 kept), const]
     unpack = [(_DET0 + s, _PACK0 + 4 * s, const_latent) for s in range(9)]
     unpack += [(_PACK0 + q, 48 + 4 * q, const_latent)
-               for q in range(4 * n_keep)]
+               for q in range(4 * n_keep)
+               if not (sacrifice and q == 4 * n_keep - 1)]
     _synthesis_level(w, b, 3, const_in=const_latent, const_out=_CONST,
                      unpack_srcs=unpack)
+    if sacrifice:
+        # sacrificed slot: phases 0..2 are real, phase 3 decodes as const
+        # (= "diff 0")
+        q = 4 * n_keep - 1
+        for ph, (px, py) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            kx, ky = _PHASE_TAP[(px, py)]
+            src = 48 + 4 * q + ph if ph < 3 else const_latent
+            w[_PACK0 + q, kx, ky, src] = 1
     params["w4"], params["b4"] = w, b
 
     w, b = _alloc(cfg, 5)     # level-2 map: kept det2 real, rest = const

@@ -210,14 +210,17 @@ class ShardedIntCodec:
         return zx, zy, c, s, lm, n_lanes, (zx * zy) // lm // s
 
     def _tiles(self, xd: int, yd: int) -> bool:
-        """True iff this geometry's stream plan lands on tile boundaries.
-        (The int8 format has no escape side channel — latents are always
-        0..127, in-table — so geometry is the only sharded-path
-        precondition; see ``ShardedHyperCodec`` for the escape analog.)"""
-        zx = xd // 16
-        s, _ = self._int_codec.plan_streams(zx * (yd // 16),
-                                            self.lane_mult)
-        return s % self.n == 0 and zx % self.n == 0
+        """True iff this geometry's stream plan lands on tile boundaries —
+        the SAME predicate _plan asserts, probed via _plan itself so the
+        two can never drift.  (The int8 format has no escape side channel
+        — latents are always 0..127, in-table — so geometry is the only
+        sharded-path precondition; see ``ShardedHyperCodec`` for the
+        escape analog.)"""
+        try:
+            self._plan(xd, yd)
+            return True
+        except AssertionError:
+            return False
 
     def _cdf(self, n_lanes: int) -> jax.Array:
         if n_lanes not in self._lane_cdfs:

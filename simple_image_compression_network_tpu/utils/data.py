@@ -182,7 +182,7 @@ def training_bank(n: int = 48, x: int = 512, y: int = 512,
     for k in range((3 * n) // 20 if screens else 0):
         out[i] = crop_of(screens[k % len(screens)])
         i += 1
-    # ~1/3 of the rest: 1/f noise over a range of slopes
+    # ~60% of the rest (~36% of the bank): 1/f noise over a range of slopes
     n_noise = (3 * (n - i)) // 5
     alphas = np.linspace(1.0, 2.2, max(n_noise, 1))
     for k in range(n_noise):
