@@ -248,3 +248,20 @@ def test_butterfly_expand_matches_gather():
         got = np.asarray(out)
         sel = need  # only lanes that actually renorm read their word
         np.testing.assert_array_equal(got[sel], expect[sel])
+
+
+def test_vmem_guards_group_aware():
+    """max_supported_cap / decode_ctx_vmem_ok shrink with the stream-group
+    width: a whole-array group (g > 128, stream counts not divisible by
+    8) halves the admissible words cap vs the single-vreg assumption."""
+    from simple_image_compression_network_tpu.codec import pallas_rans as pr
+    n_lanes = 384
+    assert pr.pick_g(129) == 129
+    cap_128 = pr.max_supported_cap(n_lanes)
+    cap_129 = pr.max_supported_cap(n_lanes, 129)
+    assert cap_129 < cap_128
+    # a cap admissible under the 128-lane assumption but not under the
+    # padded 256-lane group must be rejected by the ctx guard too
+    mid = (cap_129 + cap_128) // 2
+    assert pr.decode_ctx_vmem_ok(4, n_lanes, mid, g=8)
+    assert not pr.decode_ctx_vmem_ok(4, n_lanes, mid, g=129)
