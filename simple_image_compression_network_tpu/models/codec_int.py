@@ -73,21 +73,26 @@ _DECONV_IMPL = {
     "dilated": conv_int.deconv2d_int8,
     "phased": conv_int.deconv2d_int8_phased,
     "d2s": conv_fast.deconv2d_int8_d2s,
+    "tapn": conv_fast.deconv2d_int8_tapn,
     "pd2s": _pallas_deconv,
     "pd2s2": _pallas_deconv2,
     "pd2s3": _pallas_deconv3,
 }
 
 # Default schedule: fastest measured configuration on TPU v5e
-# (scripts/profile_slope.py + scripts/tune_plan.py, round 3: 619 MP/s at
-# batch 32 vs 412 for the round-2 plan).  XLA's conv path wins the whole
-# analysis stack (layers 1-3 run near the int8 MXU roofline once
-# dispatch overhead is factored out — the k-slope profile); the
-# block-sparse Pallas kernel (25 real tap-blocks instead of 36, see
-# ops/pallas_conv._sparse_kernel) wins synthesis layers 4-6; the RGB
-# output layer 7 is fastest on the XLA d2s form.  Off-TPU the pallas
-# impls lower to the bit-identical XLA forms.
-DEFAULT_PLAN = ("lax", "lax", "lax", "lax", "pd2s3", "pd2s3", "pd2s3", "d2s")
+# (scripts/profile_slope.py + scripts/tune_plan.py; re-tuned round 5 at
+# batch 96: 1941 MP/s synthesis vs 1196 for the round-3 plan).  XLA's
+# conv path wins the whole analysis stack (layers 1-3 run near the int8
+# MXU roofline once dispatch overhead is factored out — the k-slope
+# profile) and, at serving batches, the synthesis head; layers 6+7 run
+# as ONE phase-domain pair ("tailfused", ops/conv_fast.py:
+# deconv2d_int8_tail_fused) — L7's in-chain marginal cost was 3x its
+# standalone cost because L6's 1.2 GB depth-to-space output had to be
+# materialized and relaid out just to be re-gathered by L7; consuming
+# the phase form directly removes that traffic entirely.  Off-TPU every
+# impl lowers to bit-identical XLA forms.
+DEFAULT_PLAN = ("lax", "lax", "lax", "lax",
+                "d2s", "d2s", "tailfused", "tailfused")
 
 
 def _plan(impl, cfg: ModelConfig):
@@ -117,9 +122,22 @@ def synthesis_int8(params: Dict[str, jax.Array], z: jax.Array,
     plan = _plan(impl, cfg)
     h = z.astype(jnp.int8)
     n_analysis = len(cfg.analysis)
-    for j, _ in enumerate(cfg.synthesis):
+    j = 0
+    while j < len(cfg.synthesis):
         i = n_analysis + j
-        h = _DECONV_IMPL[plan[i]](h, params[f"w{i}"], params[f"b{i}"])
+        if plan[i] == "tailfused":
+            # Consumes an adjacent deconv PAIR in the phase domain (the
+            # inter-layer depth-to-space never materializes).
+            assert (j + 1 < len(cfg.synthesis)
+                    and plan[i + 1] == "tailfused"), \
+                "tailfused must mark an adjacent deconv pair"
+            h = conv_fast.deconv2d_int8_tail_fused(
+                h, params[f"w{i}"], params[f"b{i}"],
+                params[f"w{i + 1}"], params[f"b{i + 1}"])
+            j += 2
+        else:
+            h = _DECONV_IMPL[plan[i]](h, params[f"w{i}"], params[f"b{i}"])
+            j += 1
     return h
 
 

@@ -148,6 +148,77 @@ def deconv2d_int8_d2s(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
     return depth_to_space(bias_relu_epilogue(y, bias12))
 
 
+def depth_to_space4(y: jax.Array) -> jax.Array:
+    """(B, V, W, 16C) -> (B, 4V, 4W, C): inverse of space_to_depth4."""
+    b, v, w, c16 = y.shape
+    c = c16 // 16
+    return (y.reshape(b, v, w, 4, 4, c)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(b, 4 * v, 4 * w, c))
+
+
+def deconv_weights_s2dtail(w: np.ndarray | jax.Array) -> jax.Array:
+    """[O, 5, 5, I] deconv kernel -> 3x3 HWIO kernel consuming the
+    UPSTREAM deconv's phase form: input channels (rx, ry, c) are the
+    s2d cells of this layer's input, output channels (ax, ay, o) the
+    4x4 fine offsets of its output.
+
+    With input fine index 2u+r and output 4v+a, the deconv relation
+    o_g = 2*i_f + 2 - kx (``deconv_weights_d2s`` orientation) gives
+    kx = 4*(u-v) + 2r + 2 - a, valid when 0 <= kx < 5 — at most 3 coarse
+    taps per dim, so one 3x3/s1/p1 conv with K = 4I, N = 16O computes
+    the whole layer on the coarse grid."""
+    w = jnp.asarray(w, jnp.int8)
+    o, k, _, ci = w.shape
+    assert k == 5
+    w3 = jnp.zeros((3, 3, 4 * ci, 16 * o), jnp.int8)
+    for ax in range(4):
+        for rx in range(2):
+            for dx in (-1, 0, 1):
+                kx = 4 * dx + 2 * rx + 2 - ax
+                if not 0 <= kx < k:
+                    continue
+                for ay in range(4):
+                    for ry in range(2):
+                        for dy in (-1, 0, 1):
+                            ky = 4 * dy + 2 * ry + 2 - ay
+                            if not 0 <= ky < k:
+                                continue
+                            gin = (rx * 2 + ry) * ci
+                            gout = (ax * 4 + ay) * o
+                            w3 = w3.at[dx + 1, dy + 1,
+                                       gin:gin + ci, gout:gout + o].set(
+                                jnp.transpose(w[:, kx, ky, :], (1, 0)))
+    return w3
+
+
+def deconv2d_int8_tail_fused(x: jax.Array, w_a, b_a, w_b, b_b) -> jax.Array:
+    """TWO chained deconv522 layers fused in the phase domain.
+
+    The first layer's phase-form accumulator (V, W, 4*Oa) IS the
+    space-to-depth of its output (identical (px, py, c) channel order),
+    so the second layer can consume it directly via
+    ``deconv_weights_s2dtail`` — the depth-to-space materialization
+    between the layers (1.2 GB for L6->L7 at batch 96, measured ~9 ms
+    of relayout traffic, scripts/profile_layers.py round 5) never
+    happens.  Both epilogues are elementwise and run in their phase
+    forms, so the fusion is bit-exact with d2s(layer_b) o d2s(layer_a)
+    (tested).  Output interleaves 4x4 fine offsets in one shuffle."""
+    oa = w_a.shape[0]
+    ob = w_b.shape[0]
+    ya = lax.conv_general_dilated(
+        x.astype(jnp.int8), deconv_weights_d2s(w_a), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)], dimension_numbers=DIMNUMS,
+        preferred_element_type=jnp.int32)
+    ha = bias_relu_epilogue(ya, jnp.tile(jnp.asarray(b_a), 4))
+    yb = lax.conv_general_dilated(
+        ha, deconv_weights_s2dtail(w_b), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)], dimension_numbers=DIMNUMS,
+        preferred_element_type=jnp.int32)
+    hb = bias_relu_epilogue(yb, jnp.tile(jnp.asarray(b_b), 16))
+    return depth_to_space4(hb)
+
+
 def space_to_depth4(x: jax.Array) -> jax.Array:
     """(B, 4V, 4W, C) -> (B, V, W, 16C): 4x4 cells onto channels."""
     b, x4, y4, c = x.shape
@@ -225,3 +296,56 @@ def conv2d_int8_gemm_acc(x: jax.Array, w: jax.Array) -> jax.Array:
 
 def conv2d_int8_gemm(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
     return bias_relu_epilogue(conv2d_int8_gemm_acc(x, w), bias)
+
+
+def deconv_weights_tapn(w: np.ndarray | jax.Array) -> jax.Array:
+    """[O, 5, 5, I] deconv kernel -> (I, 9*4O) GEMM weights, tap-major.
+
+    Column block t*4O..(t+1)*4O holds the d2s phase-form weights of 3x3
+    tap t = dx*3 + dy (``deconv_weights_d2s`` column order inside each
+    block), so slicing the GEMM output per tap yields shiftable phase
+    planes."""
+    w3 = deconv_weights_d2s(w)                       # (3, 3, I, 4O)
+    ci, c4o = w3.shape[2], w3.shape[3]
+    return jnp.transpose(w3, (2, 0, 1, 3)).reshape(ci, 9 * c4o)
+
+
+def deconv2d_int8_tapn(x: jax.Array, w: jax.Array, bias: jax.Array
+                       ) -> jax.Array:
+    """deconv522 for NARROW output channels: taps folded into the GEMM N dim.
+
+    The phase-form conv (``deconv2d_int8_d2s``) has N = 4*O output
+    columns; for the RGB layer (O=3) that is 12 of the MXU's 128 lanes —
+    ~90% of every systolic pass wasted, measured 64 effective TOPS at
+    batch 96 (scripts/profile_layers.py, round 5).  Folding the 3x3 taps
+    into N instead gives ONE plain GEMM with K = I, N = 9*4*O = 108
+    (84% lane-dense), followed by 9 spatially shifted adds of the tap
+    planes.  mod-256 wrap is a ring homomorphism, so the tap planes are
+    wrapped to int8 STRAIGHT OUT of the GEMM (the convert fuses into the
+    dot epilogue) and the shift-adds run in int8 — the intermediate is
+    1 byte/element instead of the 4 an i32 accumulator would need.
+    Bit-exact with ``conv_int.deconv2d_int8`` (tested); the epilogue is
+    the usual wrap + bias + MSB-ReLU, algebraically reassociated:
+    wrap(acc + b) == wrap(sum_t wrap(acc_t) + b)."""
+    o = w.shape[0]
+    xi = x.astype(jnp.int8)
+    b, v, ww, ci = xi.shape
+    z = jax.lax.dot_general(
+        xi, deconv_weights_tapn(w),
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.int8)
+    # Materialize the int8 tap planes: without the barrier XLA fuses the
+    # 9-way shifted consumer into the GEMM epilogue and the layer runs
+    # measurably slower (the fusion re-walks the GEMM output per tap).
+    z = jax.lax.optimization_barrier(z)
+    # Shift-add stays on the 4D (…, 9*4O) layout: reshaping to a
+    # (…, 9, 4O) minor dim of 12 would pad each tap plane to a full
+    # 128-lane tile (~10x physical memory) — measured 1.6ms slower.
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    c4o = 4 * o
+    acc = zp[:, 0:v, 0:ww, 0:c4o]
+    for t in range(1, 9):
+        dx, dy = t // 3, t % 3
+        acc = acc + zp[:, dx:dx + v, dy:dy + ww, t * c4o:(t + 1) * c4o]
+    bias4 = jnp.tile(jnp.asarray(bias).astype(jnp.int8), 4)
+    return depth_to_space(jnp.maximum(acc + bias4, 0))

@@ -132,7 +132,10 @@ def _plan(impl, cfg: ModelConfig):
     from ..models.codec_int import DEFAULT_PLAN
     plan = DEFAULT_PLAN if impl is None else tuple(impl)
     assert len(plan) == len(cfg.layers)
-    return plan
+    # The fused deconv pair ("tailfused") is a single-chip schedule: the
+    # sharded net applies layers one at a time with per-layer halo
+    # exchanges, so the pair runs in its unfused d2s form (bit-identical).
+    return tuple("d2s" if p == "tailfused" else p for p in plan)
 
 
 def analysis_local(params: Dict[str, jax.Array], x: jax.Array,
