@@ -61,6 +61,12 @@ def main():
             for o in opts[1:]:
                 p = list(base)
                 p[li] = o
+                # "tailfused" marks an adjacent PAIR (codec_int._plan
+                # asserts it); varying one slot must unfuse the partner
+                partner = {6: 7, 7: 6}.get(li)
+                if partner is not None and "tailfused" in (p[6], p[7]):
+                    p[partner] = "d2s" if p[partner] == "tailfused" \
+                        else p[partner]
                 plans.append(tuple(p))
 
     def measure(plan):

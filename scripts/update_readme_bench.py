@@ -111,7 +111,7 @@ def render(recs):
         f"{link('meanscale_encode_pipelined_mps')} / "
         f"{link('meanscale_decode_pipelined_mps')}), decoded latents "
         "exact.")
-    if any("wavelet_psnr_db" in r for r in recs):
+    if any("wavelet_eval_psnr_db" in r for r in recs):
         lines.append(
             f"- **Wavelet integer codec** (profile "
             f"`{latest(recs, 'wavelet_profile')}`): "
@@ -124,10 +124,13 @@ def render(recs):
     lines.append(
         "The tuned per-layer kernel plan "
         "(`models/codec_int.py:DEFAULT_PLAN`) uses XLA's conv path for the "
-        "analysis stack and the block-sparse Pallas kernel for synthesis "
-        "layers 4-6; per-layer marginal costs come from "
-        "`scripts/profile_slope.py` / `scripts/profile_l0l7.py` and the "
-        "plan sweep from `scripts/tune_plan.py`.")
+        "analysis stack and the d2s rewrite for synthesis layers 4-5; "
+        "layers 6+7 run as ONE phase-domain fused pair "
+        "(`ops/conv_fast.py:deconv2d_int8_tail_fused`) so the 1.2 GB "
+        "inter-layer depth-to-space never materializes.  Per-layer "
+        "marginal costs come from `scripts/profile_slope.py` / "
+        "`scripts/profile_l0l7.py` and the plan sweep from "
+        "`scripts/tune_plan.py`.")
     return "\n".join(lines)
 
 
