@@ -520,13 +520,21 @@ def _encode_compact_kernel(syms_ref, cdft_ref, words_any, cnt_ref, xfin_ref,
     so start/freq come from one-hot CDF selects — no search) and stores
     candidate renorm words + emit flags in VMEM scratch.  Pass 2
     (t ascending) computes each step's per-stream emit ranks (prefix sum
-    via the strict-lower-tri MXU matmul), compacts the emitted words of
-    a step into a (N, 1) column by one-hot selection and stores it at the
-    stream's running cursor in the staging buffer — the N-wide window
-    store may include garbage past the step's count, but the next step's
-    window starts exactly at cursor+count and overwrites it (the same
-    overwrite discipline the XLA scatter assembly gets from monotone
-    indices).  The staged payload DMAs to HBM once per grid block.
+    via the strict-lower-tri MXU matmul), left-packs the emitted words
+    with the LSB-first butterfly network, then appends them to a
+    per-stream CARRY RING held in vector registers: a circular
+    lane-roll (bit-decomposed over the ring's fill offset) places the
+    packed chunk at the cursor, and only when the ring fills does one
+    row store flush it to the staging buffer — a (1, C*N) row at a
+    dynamic sublane index, the one layout Mosaic stores cheaply.  The
+    previous design stored a transposed (N, 1) column at a per-stream
+    cursor EVERY step; measured on v5e those per-step dynamic stores
+    were ~6.5 us each and made pass 2 ~77% of the kernel (the vector
+    work — butterfly + rank matmul — is ~0.5 ms total).  The ring
+    amortizes one store over ~C*N/E(emits) steps and removes the MXU
+    transpose entirely: encode ~11.7 -> ~4.8 ms at the serving
+    geometry, and the staging block shrinks 16x (rows are dense, the
+    column layout padded 8 used lanes to 128).
 
     Streams whose payload exceeds ``cap`` skip the store but keep
     counting: the caller detects count > cap and falls back to the XLA
@@ -562,7 +570,6 @@ def _compact_encode_body(syms_ref, cdft_ref, ctx_ref, words_any, cnt_ref,
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 1)
     tri = (k_iota < j_iota).astype(jnp.float32)
-    eye_f32 = (k_iota == j_iota).astype(jnp.float32)
     if ctx_ref is not None:
         n_rows = cdft_ref.shape[1]
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_lanes), 0)
@@ -607,14 +614,21 @@ def _compact_encode_body(syms_ref, cdft_ref, ctx_ref, words_any, cnt_ref,
                                        jnp.uint32))
     xfin_ref[:, :] = x_fin
 
-    # stage is lane-padded to the full 128 vreg width: Mosaic pads a
-    # G(=8)-lane array to 128 anyway, and a full-width block can DMA to
-    # HBM without the (unsupported) narrow lane slice
-    stage[:, :] = jnp.zeros((cap + n_lanes, 128), jnp.int32)
+    # stage rows are one carry ring each: (G * blk_rows, C*N) — dense,
+    # DMA'd to HBM once per grid block, flattening row-major into each
+    # stream's word sequence
+    blk_rows = stage.shape[0] // g_streams
+    cn = stage.shape[1]                                   # ring = C*N lanes
+    stage[:, :] = jnp.zeros(stage.shape, jnp.int32)
     for g in range(g_streams):
         pos_smem[g] = 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g_streams, n_lanes), 1)
+    lane_cn = jax.lax.broadcasted_iota(jnp.int32, (g_streams, cn), 1)
+    nbits = max(1, (n_lanes - 1).bit_length())
+    nbits_cn = max(1, (cn - 1).bit_length())
 
-    def step2(t, pos_vec):
+    def step2(t, carry_state):
+        carry, f_vec, pos_vec = carry_state
         need_all = need_s[pl.ds(t, 1)][0]                  # (G, N)
         emit_all = emit_s[pl.ds(t, 1)][0]
         rank_all = jnp.dot(need_all.astype(jnp.float32), tri,
@@ -623,16 +637,12 @@ def _compact_encode_body(syms_ref, cdft_ref, ctx_ref, words_any, cnt_ref,
         # batched LSB-first butterfly compress: left-pack each stream's
         # emitted words.  The shift l - rank is a monotone prefix-sum
         # quantity, so the masked-roll network is exact and collision-
-        # free (NumPy-golden property test); it replaces the per-stream
-        # (N, N) one-hot compaction — pass 2's dominant VPU cost.
-        # Lanes past a row's packed count hold stale values; the staging
-        # windows already tolerate garbage past the cursor (overwrite
-        # discipline below).
-        lane = jax.lax.broadcasted_iota(jnp.int32, (g_streams, n_lanes), 1)
+        # free (NumPy-golden property test).  Lanes past a row's packed
+        # count hold stale values; the ring merge below masks them out.
         d = emit_all
         s_ride = lane - rank_all
         v = need_all  # 0/1 i32 (Mosaic cannot lane-roll i1 vectors)
-        for b in range(max(1, (n_lanes - 1).bit_length())):
+        for b in range(nbits):
             k = 1 << b
             d2 = pltpu.roll(d, n_lanes - k, 1)
             s2 = pltpu.roll(s_ride, n_lanes - k, 1)
@@ -642,30 +652,62 @@ def _compact_encode_body(syms_ref, cdft_ref, ctx_ref, words_any, cnt_ref,
             d = jnp.where(take, d2, d)
             s_ride = jnp.where(take, s2, s_ride)
             v = jnp.where(jnp.logical_or(take, stay), 1, 0)
+        # circular roll RIGHT by each stream's ring fill f (static rolls
+        # selected by f's bits), then merge the c new words at [f, f+c)
+        # — lanes past c carry compress garbage and are masked off here
+        dz = jnp.concatenate(
+            [d] + [jnp.zeros_like(d)] * (cn // n_lanes - 1), axis=1)
+        rolled = dz
+        for b in range(nbits_cn):
+            r2 = pltpu.roll(rolled, (1 << b) % cn, 1)
+            rolled = jnp.where(((f_vec >> b) & 1) == 1, r2, rolled)
+        c_vec = jnp.sum(need_all, axis=1, keepdims=True)   # (G, 1)
+        end = f_vec + c_vec
+        merged = jnp.where(
+            jnp.logical_and(lane_cn >= f_vec, lane_cn < end), rolled, carry)
+        wrapped = jnp.where(lane_cn < end - cn, rolled, jnp.int32(0))
+        flush = end >= cn
         for g in range(g_streams):
-            # MXU identity transpose: packed row -> (N, 1) staging column
-            # (u16-valued words exceed bf16's mantissa -> HIGHEST)
-            rowcol = jax.lax.dot_general(
-                eye_f32, d[g:g + 1, :].astype(jnp.float32),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST
-            ).astype(jnp.int32)                            # (N, 1)
             p = pos_smem[g]
+            c_g = jnp.sum(need_all[g:g + 1, :])
+            blk = p // cn
+            f_g = p - blk * cn
 
-            @pl.when(p <= cap)
+            @pl.when(jnp.logical_and(f_g + c_g >= cn, blk < blk_rows))
             def _():
-                stage[pl.ds(p, n_lanes), pl.ds(g, 1)] = rowcol
-            pos_smem[g] = p + jnp.sum(need_all[g:g + 1, :])
-        return pos_vec + jnp.sum(need_all, axis=1, keepdims=True)
+                stage[pl.ds(g * blk_rows + blk, 1), :] = merged[g:g + 1, :]
+            pos_smem[g] = p + c_g
+        carry = jnp.where(flush, wrapped, merged)
+        f_vec = jnp.where(flush, end - cn, end)
+        return carry, f_vec, pos_vec + c_vec
 
-    pos_fin = jax.lax.fori_loop(
-        0, t_steps, step2, jnp.zeros((g_streams, 1), jnp.int32))
+    carry_fin, _, pos_fin = jax.lax.fori_loop(
+        0, t_steps, step2,
+        (jnp.zeros((g_streams, cn), jnp.int32),
+         jnp.zeros((g_streams, 1), jnp.int32),
+         jnp.zeros((g_streams, 1), jnp.int32)))
+    # drain each stream's partial ring (garbage past the fill offset is
+    # fine: bytes past counts[s] are never read)
+    for g in range(g_streams):
+        p = pos_smem[g]
+        blk = p // cn
+
+        @pl.when(jnp.logical_and(p - blk * cn > 0, blk < blk_rows))
+        def _():
+            stage[pl.ds(g * blk_rows + blk, 1), :] = carry_fin[g:g + 1, :]
     cnt_ref[:, :] = pos_fin
     dma = pltpu.make_async_copy(stage, words_any.at[i], sem)
     dma.start()
     dma.wait()
 
+
+# Rows of the per-stream carry ring held in vector registers: flushes to
+# the staging buffer happen every ~C*N/E(emits) steps instead of every
+# step, amortizing the ~6.5 us cost a dynamic VMEM store measures on v5e
+# (the pass-2 bottleneck — see _encode_compact_kernel's docstring).
+# 4 rows x 384 lanes = 12 vregs/stream of carry: comfortably in-register
+# at g=8, and the bit-decomposed align roll stays 11 stages.
+_CARRY_ROWS = 4
 
 # Whole-kernel VMEM budget for the compact encoder (VMEM is ~16 MB/core;
 # the largest verified-compiling configuration [hyper y ctx encode at
@@ -686,10 +728,12 @@ def encode_vmem_ok(t_steps: int, n_lanes: int, has_ctx: bool,
     blk = t_steps * g * n_lanes * 4
     n_in_blocks = 4 if has_ctx else 2      # (syms [+ctx]) double-buffered
     cap = default_encode_cap(t_steps, n_lanes)
-    # staging block minor axis is g, lane-padded to a multiple of 128
-    # (same layout as the decode words window — see decode_ctx_vmem_ok)
-    g_lanes = 128 * max(1, -(-g // 128))
-    stage = (cap + n_lanes) * g_lanes * 4
+    # staging = g dense carry-ring rows per stream (the row-staged layout;
+    # the pre-round-5 column layout padded g=8 lanes to 128 and was 16x
+    # bigger)
+    cn = _CARRY_ROWS * n_lanes
+    blk_rows = -(-(cap + n_lanes) // cn) + 1
+    stage = g * blk_rows * cn * 4
     return n_in_blocks * blk + 2 * blk + stage <= _ENCODE_VMEM_BUDGET
 
 
@@ -697,10 +741,13 @@ def default_encode_cap(t_steps: int, n_lanes: int,
                        vmem_limit: int = 8 * 1024 * 1024) -> int:
     """Payload capacity (words) for the compact encode kernel's staging
     buffer: half the 1-word/symbol worst case, bucketed, shrunk until the
-    (cap + N) x 128-lane i32 staging block fits the VMEM budget."""
+    dense row-staged block (g=8 streams x ceil((cap+N)/C*N)+1 rings of
+    C*N words) fits the VMEM budget."""
     from .device_rans import WORD_BUCKET, bucket_words
     cap = bucket_words(max(WORD_BUCKET, (t_steps * n_lanes) // 2))
-    while cap > WORD_BUCKET and (cap + n_lanes) * 128 * 4 > vmem_limit:
+    cn = _CARRY_ROWS * n_lanes
+    while (cap > WORD_BUCKET
+           and 8 * (-(-(cap + n_lanes) // cn) + 1) * cn * 4 > vmem_limit):
         cap -= WORD_BUCKET
     return cap
 
@@ -727,6 +774,10 @@ def encode_batch_compact(syms: jax.Array, lane_cdf: jax.Array,
     g = pick_g(s, g_streams)
     n_blocks = s // g
     n_sym = lane_cdf.shape[1] - 1
+    # carry-ring geometry: each stream stages blk_rows rows of C*N words
+    # (the last row is drain slack for a just-under-cap partial ring)
+    cn = _CARRY_ROWS * n_lanes
+    blk_rows = -(-(cap_words + n_lanes) // cn) + 1
     syms_t = jnp.swapaxes(syms.astype(jnp.int32), 0, 1)    # (t, S, N)
     cdft = jnp.swapaxes(lane_cdf.astype(jnp.int32), 0, 1)
     if ctx is None:
@@ -760,22 +811,20 @@ def encode_batch_compact(syms: jax.Array, lane_cdf: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, cap_words + n_lanes, 128),
-                                 jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, g * blk_rows, cn), jnp.int32),
             jax.ShapeDtypeStruct((s, 1), jnp.int32),
             jax.ShapeDtypeStruct((s, n_lanes), jnp.uint32),
         ],
         scratch_shapes=[
             pltpu.VMEM((t_steps, g, n_lanes), jnp.int32),  # emit_s
             pltpu.VMEM((t_steps, g, n_lanes), jnp.int32),  # need_s
-            pltpu.VMEM((cap_words + n_lanes, 128), jnp.int32),  # stage
+            pltpu.VMEM((g * blk_rows, cn), jnp.int32),     # stage
             pltpu.SMEM((g,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(syms_t, cdft, *extra_in)
-    payload = jnp.swapaxes(words_t[:, :, :g], 1, 2
-                           ).reshape(s, cap_words + n_lanes)
+    payload = words_t.reshape(s, blk_rows * cn)[:, :cap_words + n_lanes]
     hdr = jnp.stack([xfin >> 16, xfin & jnp.uint32(0xFFFF)],
                     axis=2).reshape(s, 2 * n_lanes)
     words = jnp.concatenate([hdr, payload.astype(jnp.uint32)], axis=1)
